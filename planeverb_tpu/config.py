@@ -1,0 +1,317 @@
+"""Configuration, physical constants, and the grid parameter law.
+
+TPU-native re-design of the reference configuration surface:
+  - ``PlaneverbConfig``    mirrors /root/reference ProjectPlaneverb/include/PvTypes.h:38-60
+  - ``PlaneverbDSPConfig`` mirrors /root/reference PlaneverbDSP/include/PvDSPTypes.h:33-53
+  - constants table        mirrors PvTypes.h:83-102 (exposed as one frozen dataclass so
+                           parity tolerances are tunable, per SURVEY.md §5)
+  - ``GridParams``         reproduces Grid::CalculateGridParameters (Grid.cpp:390-396)
+                           and the derived grid/response sizing (Grid.cpp:46-116).
+
+All derived quantities are computed in float32 to match the reference's ``Real``
+arithmetic so that grid dimensions and sample counts truncate identically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+import numpy as np
+
+__all__ = [
+    "Resolution",
+    "BoundaryType",
+    "ExecutionType",
+    "PhysicalConstants",
+    "CONSTANTS",
+    "PlaneverbConfig",
+    "PlaneverbDSPConfig",
+    "GridParams",
+    "compute_grid_params",
+    "gaussian_pulse",
+    "MATERIALS",
+    "AbsorptionCoefficients",
+]
+
+
+class Resolution(enum.IntEnum):
+    """Max simulated frequency in Hz (reference PvTypes.h:22-30)."""
+
+    LOW = 275
+    MID = 375
+    HIGH = 500
+    EXTREME = 750
+    DEFAULT = 375
+
+
+class BoundaryType(enum.IntEnum):
+    """Outer boundary behavior (reference PvTypes.h:33-36)."""
+
+    ABSORBING = 0
+    REFLECTING = 1  # declared but unsupported in the reference; we support it
+
+
+class ExecutionType(enum.IntEnum):
+    """Kept for API parity with PvTypes.h:14-17; TPU is the only real backend."""
+
+    TPU = 0
+    CPU_ORACLE = 1  # NumPy oracle, test-only
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicalConstants:
+    """Physical / behavioral constants (reference PvTypes.h:83-102).
+
+    Exposed as a frozen dataclass (not module-level macros) so experiments can
+    override individual constants without forking the engine.
+    """
+
+    pi: float = 3.141593
+    rho: float = 1.2041                 # air density
+    c: float = 343.21                   # speed of sound (m/s)
+    audible_threshold_gain: float = 0.00000316   # -110 dB linear
+    dry_direction_analysis_length: float = 0.005  # s of flux for source dir
+    dry_gain_analysis_length: float = 0.01        # s of initial pulse window
+    wet_gain_analysis_length: float = 0.080       # s of early reflections
+    max_audible_freq: float = 20000.0
+    min_audible_freq: float = 20.0
+    points_per_wavelength: float = 3.5
+    schroeder_offset_s: float = 0.01    # tail cut for RT60 regression
+    distance_gain_threshold: float = 0.891251     # -1 dB linear
+    delay_close_threshold: float = 5.0  # samples, DOA walk "close enough"
+
+    @property
+    def z_air(self) -> float:
+        return self.rho * self.c
+
+    @property
+    def impulse_response_s(self) -> float:
+        """IR seconds to record: sqrt(2)*12.5/c + 0.25 (PvTypes.h:101)."""
+        return float(np.float32(math.sqrt(2.0)) * np.float32(12.5) / np.float32(self.c)
+                     + np.float32(0.25))
+
+
+CONSTANTS = PhysicalConstants()
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneverbConfig:
+    """Acoustics module configuration (reference PvTypes.h:38-60).
+
+    ``grid_size_x/y`` are in meters. ``grid_resolution`` is the max simulated
+    frequency (one of :class:`Resolution`, or any positive Hz value >= LOW).
+    """
+
+    grid_size_x: float = 10.0
+    grid_size_y: float = 10.0
+    grid_resolution: int = int(Resolution.DEFAULT)
+    grid_boundary_type: BoundaryType = BoundaryType.ABSORBING
+    grid_offset_x: float = 0.0
+    grid_offset_y: float = 0.0
+    constants: PhysicalConstants = CONSTANTS
+
+    def validate(self) -> None:
+        """Config validation (reference PvContext.cpp:100-107)."""
+        if self.grid_resolution < int(Resolution.LOW):
+            raise ValueError(
+                f"grid_resolution must be >= {int(Resolution.LOW)} Hz, "
+                f"got {self.grid_resolution}")
+        if self.grid_size_x <= 0 or self.grid_size_y <= 0:
+            raise ValueError("grid size must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneverbDSPConfig:
+    """DSP module configuration (reference PvDSPTypes.h:33-53)."""
+
+    max_callback_length: int = 4096
+    dsp_smoothing_factor: int = 2
+    sampling_rate: int = 44100
+    use_spatialization: bool = True
+    wet_gain_ratio: float = 0.9
+
+    def validate(self) -> None:
+        if self.max_callback_length > 4096 or self.max_callback_length <= 0:
+            raise ValueError("max_callback_length must be in (0, 4096]")
+        if self.dsp_smoothing_factor <= 0:
+            raise ValueError("dsp_smoothing_factor must be > 0")
+
+
+@dataclasses.dataclass(frozen=True)
+class GridParams:
+    """Every static quantity derived from a :class:`PlaneverbConfig`.
+
+    The reference spreads these across Grid::Grid (Grid.cpp:30-120) and
+    CalculateGridParameters (Grid.cpp:390-396); here they live in one immutable
+    record that fully determines the shapes of the jitted computation.
+
+    Attributes:
+      dx: cell size in meters
+      dt: timestep in seconds
+      fs: sampling rate of the simulation (Hz, truncated int)
+      grid_x, grid_y: analysis-grid dimensions (cells)
+      nx, ny: solver field dimensions = grid_x+1, grid_y+1 (staggered extension)
+      response_length: IR samples recorded per sim pass
+      listener-independent pulse is computed by :func:`gaussian_pulse`.
+    """
+
+    dx: float
+    dt: float
+    fs: int
+    grid_x: int
+    grid_y: int
+    response_length: int
+    resolution: int
+    grid_size_x: float
+    grid_size_y: float
+    grid_offset_x: float
+    grid_offset_y: float
+    boundary_type: BoundaryType
+    constants: PhysicalConstants
+
+    @property
+    def nx(self) -> int:
+        return self.grid_x + 1
+
+    @property
+    def ny(self) -> int:
+        return self.grid_y + 1
+
+    @property
+    def courant(self) -> float:
+        """c*dt/dx, the update constant (FDTD.cpp:90)."""
+        return float(np.float32(self.constants.c) * np.float32(self.dt)
+                     / np.float32(self.dx))
+
+    def world_to_cell(self, x: float, z: float) -> tuple[int, int]:
+        """World position -> solver cell index (FDTD.cpp:96-97)."""
+        cx = int(np.float32(x + self.grid_offset_x) / np.float32(self.dx))
+        cy = int(np.float32(z + self.grid_offset_y) / np.float32(self.dx))
+        return cx, cy
+
+    # -- analysis window lengths in samples (Analyzer.cpp:171-173,237,293) --
+    @property
+    def dry_gain_samples(self) -> int:
+        return int(np.float32(self.constants.dry_gain_analysis_length)
+                   * np.float32(self.fs))
+
+    @property
+    def source_dir_samples(self) -> int:
+        return int(np.float32(self.constants.dry_direction_analysis_length)
+                   * np.float32(self.fs))
+
+    @property
+    def wet_gain_samples(self) -> int:
+        return int(np.float32(self.constants.wet_gain_analysis_length)
+                   * np.float32(self.fs))
+
+    @property
+    def schroeder_offset_samples(self) -> int:
+        return int(np.float32(self.constants.schroeder_offset_s)
+                   * np.float32(self.fs))
+
+
+def compute_grid_params(config: PlaneverbConfig) -> GridParams:
+    """Reproduces CalculateGridParameters + grid sizing in f32 arithmetic.
+
+    Reference: Grid.cpp:390-396 (dx/dt/fs law), Grid.cpp:46-58 (grid size),
+    Grid.cpp:55 (response length).
+    """
+    config.validate()
+    k = config.constants
+    c = np.float32(k.c)
+    min_wavelength = c / np.float32(config.grid_resolution)
+    dx = min_wavelength / np.float32(k.points_per_wavelength)
+    dt = dx / (c * np.float32(1.5))
+    fs = int(np.float32(1.0) / dt)
+
+    grid_size_fx = (np.float32(1.0) / dx) * np.float32(config.grid_size_x)
+    grid_size_fy = (np.float32(1.0) / dx) * np.float32(config.grid_size_y)
+    grid_x = int(grid_size_fx)
+    grid_y = int(grid_size_fy)
+
+    response_length = int(np.float32(fs) * np.float32(k.impulse_response_s))
+
+    return GridParams(
+        dx=float(dx),
+        dt=float(dt),
+        fs=fs,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        response_length=response_length,
+        resolution=int(config.grid_resolution),
+        grid_size_x=float(config.grid_size_x),
+        grid_size_y=float(config.grid_size_y),
+        grid_offset_x=float(config.grid_offset_x),
+        grid_offset_y=float(config.grid_offset_y),
+        boundary_type=config.grid_boundary_type,
+        constants=k,
+    )
+
+
+def gaussian_pulse(params: GridParams) -> np.ndarray:
+    """Precomputed Gaussian source pulse (reference Grid.cpp:12-27).
+
+    sigma = 1/(0.5*pi*fmax); val(t) = exp(-(t - 2*sigma)^2 / sigma^2).
+    Returned as float32 [response_length].
+    """
+    fmax = np.float32(params.resolution)
+    pi = np.float32(math.acos(-1.0))
+    sigma = np.float32(1.0) / (np.float32(0.5) * pi * fmax)
+    delay = np.float32(2.0) * sigma
+    dt = np.float32(1.0) / np.float32(params.fs)
+    t = np.arange(params.response_length, dtype=np.float32) * dt
+    return np.exp(-(t - delay) * (t - delay) / (sigma * sigma)).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class AbsorptionCoefficients:
+    """Material table: reflection coefficient R = sqrt(1 - absorption).
+
+    Reference: PvMathTypes.h:51-90. Values are R, not absorption.
+    """
+
+    FREE_SPACE: float = 0.000000000
+    DEFAULT: float = 0.989949494
+    BRICK_UNGLAZED: float = 0.979795897
+    BRICK_PAINTED: float = 0.989949494
+    CONCRETE_ROUGH: float = 0.969535971
+    CONCRETE_BLOCK_PAINTED: float = 0.964365076
+    GLASS_HEAVY: float = 0.984885780
+    GLASS_WINDOW: float = 0.938083152
+    TILE_GLAZED: float = 0.994987437
+    PLASTER_BRICK: float = 0.984885780
+    PLASTER_CONCRETE_BLOCK: float = 0.974679434
+    WOOD_PLYWOOD_PANEL: float = 0.948683298
+    STEEL: float = 0.948683298
+    WOOD_PANEL: float = 0.953939201
+    CONCRETE_BLOCK_COARSE: float = 0.806225775
+    DRAPERY_LIGHT: float = 0.921954446
+    DRAPERY_MEDIUM: float = 0.670820393
+    DRAPERY_HEAVY: float = 0.632455532
+    FIBERBOARD_SHREDDED_WOOD: float = 0.632455532
+    CONCRETE_PAINTED: float = 0.989949494
+    WOOD: float = 0.964365076
+    WOOD_VARNISHED: float = 0.984885780
+    CARPET_HEAVY: float = 0.806225775
+    GRAVEL: float = 0.547722558
+    GRASS: float = 0.547722558
+    SNOW_FRESH: float = 0.316227766
+    SOIL_ROUGH: float = 0.741619849
+    WOOD_TREE: float = 0.911043358
+    WATER_SURFACE: float = 0.994987437
+    CONCRETE: float = 0.979795897
+    GLASS: float = 0.969535971
+    MARBLE: float = 0.994987437
+    DRAPERY: float = 0.921954446
+    CLOTH: float = 0.921954446
+    AWNING: float = 0.921954446
+    FOLIAGE: float = 0.911043358
+    METAL: float = 0.948683298
+    ICE: float = 0.994987437
+    SNOW_PACKED: float = 0.994987437
+
+
+MATERIALS = AbsorptionCoefficients()

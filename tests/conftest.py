@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-device sharding tests run against CPU device emulation
+(SURVEY.md §4 item 4); TPU hardware is exercised by bench.py instead.
+This must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
