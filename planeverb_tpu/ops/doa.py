@@ -1,0 +1,130 @@
+"""Direction-of-arrival via parallel delay-field descent.
+
+The reference encodes listener direction with a per-cell greedy walk across
+the onset-delay field (/root/reference ProjectPlaneverb/src/DSP/Analyzer.cpp:
+340-431): from each source cell, repeatedly hop to the 8-neighbor with the
+smallest onset delay until reaching line-of-sight with the listener (or a
+loudness/delay threshold), then emit the unit vector from the final cell to
+the listener. That walk is data-dependent and sequential per cell — the one
+algorithm in the pipeline that does not vectorize directly.
+
+TPU-native reformulation: the hop choice from a cell depends only on that
+cell (argmin over its neighbors), so the walk is iteration of a *fixed*
+per-cell successor function ``g``:
+
+    g(c) = c               if terminal(c)
+         = best_neighbor(c) otherwise
+
+with terminal(c) = line-of-sight(c) ∨ delay(c) <= close-threshold ∨
+loudness(c) >= -1 dB ∨ no strictly-delay-improving neighbor. The walk's
+fixpoint from every cell simultaneously is computed by **pointer jumping**:
+squaring ``g`` log2(n) times (``g = g[g]``), turning an O(path-length)
+sequential walk into O(log n) parallel gathers. The start cell is special
+(the reference enters the loop with delay = +inf and skips the
+line-of-sight check until after the first hop), handled by a separate first
+step before jumping.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from planeverb_tpu.config import GridParams
+
+__all__ = ["encode_directions"]
+
+# neighbor order matters for tie-breaking: strict < keeps the earliest
+# minimal neighbor, matching the reference's iteration order
+_NEIGHBOR_OFFSETS = ((-1, -1), (-1, 0), (-1, 1),
+                     (0, -1), (0, 1),
+                     (1, -1), (1, 0), (1, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def encode_directions(params: GridParams, occlusion, delay,
+                      listener_wx, listener_wy) -> jax.Array:
+    """Compute [gx, gy, 2] DOA unit vectors (EncodeListenerDirection analog).
+
+    Args:
+      occlusion: [gx, gy] obstruction gains (pass-1 output).
+      delay: [gx, gy] onset delays in samples (f32; FLT_MAX where none).
+      listener_wx, listener_wy: listener world position incl. grid offset.
+    """
+    gx, gy = params.grid_x, params.grid_y
+    n = gx * gy
+    k = params.constants
+    dx = jnp.float32(params.dx)
+    fs = jnp.float32(params.fs)
+    c_sound = jnp.float32(k.c)
+    wavelength = c_sound / jnp.float32(params.resolution)
+    thr_dist = jnp.float32(0.3) * wavelength
+    f32max = jnp.float32(jnp.finfo(jnp.float32).max)
+
+    occ = occlusion.reshape(n)
+    dly = delay.reshape(n)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (gx, gy), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (gx, gy), 1)
+
+    # best (strictly smallest-delay, occlusion>0) neighbor per cell
+    best_delay = jnp.full((gx, gy), f32max)
+    best_idx = (rr * gy + cc)  # self as placeholder
+    occ2 = occlusion
+    dly2 = delay
+    for dr, dc in _NEIGHBOR_OFFSETS:
+        nr = rr + dr
+        nc = cc + dc
+        inb = (nr >= 0) & (nc >= 0) & (nr < gx) & (nc < gy)
+        nr_c = jnp.clip(nr, 0, gx - 1)
+        nc_c = jnp.clip(nc, 0, gy - 1)
+        n_delay = dly2[nr_c, nc_c]
+        n_occ = occ2[nr_c, nc_c]
+        cand_ok = inb & (n_occ > 0.0) & (n_delay < best_delay)
+        best_delay = jnp.where(cand_ok, n_delay, best_delay)
+        best_idx = jnp.where(cand_ok, nr_c * gy + nc_c, best_idx)
+
+    nxt = best_idx.reshape(n)
+    nxt_delay = best_delay.reshape(n)
+    has_next = nxt_delay < f32max
+
+    # per-cell geometry for the line-of-sight test
+    ex = rr.astype(jnp.float32).reshape(n) * dx
+    ey = cc.astype(jnp.float32).reshape(n) * dx
+    dxv = ex - listener_wx
+    dyv = ey - listener_wy
+    euclid = jnp.sqrt(dxv * dxv + dyv * dyv)
+    geodesic = c_sound * dly / fs
+    los = jnp.abs(geodesic - euclid) < thr_dist
+
+    # terminal predicate after arriving at a cell (loop-top + LOS checks)
+    terminal = (los
+                | (dly <= jnp.float32(k.delay_close_threshold))
+                | (occ >= jnp.float32(k.distance_gain_threshold))
+                | (~has_next)
+                | (nxt_delay >= dly))
+    g = jnp.where(terminal, jnp.arange(n), nxt)
+
+    # first step from the start cell: delay register is +inf, LOS unchecked
+    start_terminal = (occ >= jnp.float32(k.distance_gain_threshold)) | (~has_next)
+    s1 = jnp.where(start_terminal, jnp.arange(n), nxt)
+
+    # pointer jumping: g <- g∘g, log2(n) times, then resolve starts
+    jumps = max(1, math.ceil(math.log2(max(n, 2))))
+    def body(_, gg):
+        return gg[gg]
+    g = jax.lax.fori_loop(0, jumps, body, g)
+    final = g[s1]
+
+    # unit vector from final cell to listener (Analyzer.cpp:409-430)
+    fex = ex[final]
+    fey = ey[final]
+    ox = fex - listener_wx
+    oy = fey - listener_wy
+    length_sq = ox * ox + oy * oy
+    inv_len = jnp.where(length_sq != 0.0, 1.0 / jnp.sqrt(length_sq), 1.0)
+    out = jnp.stack([ox * inv_len, oy * inv_len], axis=-1)
+    return out.reshape(gx, gy, 2)
