@@ -1,0 +1,202 @@
+"""Engine context: owns all subsystems and the simulation loop.
+
+Analog of /root/reference ProjectPlaneverb/src/Context/PvContext.cpp, rebuilt
+around the TPU execution model:
+
+  - The reference's background thread mutates shared state with one mutex and
+    several tolerated races (PvContext.cpp:63-94). Here each iteration takes
+    an explicit *snapshot* of (listener, geometry version) on the host,
+    dispatches one fused device computation, and atomically publishes the
+    host-side results dict — races disappear by design (SURVEY.md §5).
+  - Geometry changes re-rasterize the whole field set on device
+    (ops/voxelize.py) instead of imperative paint/unpaint.
+  - ``Context.step()`` runs one sim+analyze iteration synchronously (tests,
+    benchmarks); ``Context.start()`` runs the same loop on a background
+    thread like the reference's BackgroundProcessor (PvContext.cpp:160).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from planeverb_tpu.config import (GridParams, PlaneverbConfig,
+                                  compute_grid_params, gaussian_pulse)
+from planeverb_tpu.core.emissions import EmissionRegistry
+from planeverb_tpu.core.free_grid import calibrate_free_field
+from planeverb_tpu.core.geometry import GeometryRegistry
+from planeverb_tpu.ops import analyzer, fdtd, voxelize
+from planeverb_tpu.scene import Scene
+from planeverb_tpu.types import PlaneverbOutput, invalid_output, vec2
+from planeverb_tpu.utils.profiling import StageTimer
+
+__all__ = ["Context"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+class Context:
+    def __init__(self, config: PlaneverbConfig, scene: Scene | None = None):
+        config.validate()
+        self.config = config
+        self.params: GridParams = compute_grid_params(config)
+        self.geometry = GeometryRegistry()
+        self.emissions = EmissionRegistry()
+        self.timer = StageTimer()
+
+        self._pulse = jnp.asarray(gaussian_pulse(self.params))
+        self._listener = (0.0, 0.0, 0.0)
+        self._listener_lock = threading.Lock()
+
+        # calibration (FreeGrid analog) — one empty-grid sim at init
+        with self.timer.stage("calibration"):
+            self.efree = calibrate_free_field(self.params)
+
+        self._fields_version = -1
+        self._beta = None
+        self._refl = None
+
+        self._results: dict | None = None       # published host-side results
+        self._results_listener = (0.0, 0.0)     # listener used for results
+        self._last_pressure = None               # device [T, nx, ny]
+        self._iteration = 0
+        self._iter_cond = threading.Condition()
+
+        self._thread: threading.Thread | None = None
+        self._running = False
+
+        if scene is not None:
+            self.geometry.load_scene(scene)
+
+    # ------------------------------------------------------------- listener
+    def set_listener_position(self, x: float, y: float, z: float) -> None:
+        with self._listener_lock:
+            self._listener = (x, y, z)
+
+    def get_listener_position(self):
+        with self._listener_lock:
+            return self._listener
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self) -> None:
+        """Spawn the background processing loop (PvContext.cpp:160 analog)."""
+        if self._thread is not None:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="planeverb-background")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def _loop(self) -> None:
+        while self._running:
+            self.step()
+
+    # ------------------------------------------------------------ iteration
+    def _sync_fields(self) -> None:
+        version, boxes = self.geometry.snapshot()
+        if version == self._fields_version:
+            return
+        with self.timer.stage("voxelize"):
+            if boxes:
+                arr = voxelize.boxes_to_array(boxes, _next_pow2(len(boxes)))
+                beta, refl = voxelize.voxelize(self.params, jnp.asarray(arr))
+            else:
+                b, r = voxelize.base_fields(self.params)
+                beta, refl = jnp.asarray(b), jnp.asarray(r)
+            self._beta, self._refl = beta, refl
+            self._fields_version = version
+
+    def step(self) -> None:
+        """One background-loop iteration: sim -> analyze -> publish."""
+        lx, ly, lz = self.get_listener_position()
+        self._sync_fields()
+
+        cix, ciy = self.params.world_to_cell(lx, lz)
+        with self.timer.stage("simulate"):
+            res = fdtd.simulate(self.params, self._beta, self._refl,
+                                self._pulse, cix, ciy)
+            res.pressure.block_until_ready()
+        with self.timer.stage("analyze"):
+            out = analyzer.analyze(
+                self.params, res.pressure, res.onset, res.flux_x, res.flux_y,
+                np.float32(self.efree), np.float32(lx), np.float32(lz))
+        with self.timer.stage("publish"):
+            published = {
+                "occlusion": np.asarray(out.occlusion),
+                "wet_gain": np.asarray(out.wet_gain),
+                "rt60": np.asarray(out.rt60),
+                "lowpass": np.asarray(out.lowpass),
+                "direction": np.asarray(out.direction),
+                "source_directivity": np.asarray(out.source_directivity),
+                "delay_samples": np.asarray(out.delay_samples),
+            }
+        self._last_pressure = res.pressure
+        self._results = published
+        self._results_listener = (lx, lz)
+        with self._iter_cond:
+            self._iteration += 1
+            self._iter_cond.notify_all()
+
+    @property
+    def iteration(self) -> int:
+        return self._iteration
+
+    def wait_for_iteration(self, n: int, timeout: float = 60.0) -> bool:
+        with self._iter_cond:
+            return self._iter_cond.wait_for(
+                lambda: self._iteration >= n, timeout=timeout)
+
+    # -------------------------------------------------------------- queries
+    def result_at(self, x: float, z: float) -> PlaneverbOutput:
+        """World position -> acoustic output (GetResponseResult analog,
+        Analyzer.cpp:106-116 + FDTD.cpp:16-58)."""
+        results = self._results
+        if results is None:
+            return invalid_output()
+        p = self.params
+        cx = int(np.float32(x + p.grid_offset_x) / np.float32(p.dx))
+        cy = int(np.float32(z + p.grid_offset_y) / np.float32(p.dx))
+        if not (0 <= cx < p.grid_x and 0 <= cy < p.grid_y):
+            return invalid_output()
+        d = results["direction"][cx, cy]
+        s = results["source_directivity"][cx, cy]
+        return PlaneverbOutput(
+            occlusion=float(results["occlusion"][cx, cy]),
+            wet_gain=float(results["wet_gain"][cx, cy]),
+            rt60=float(results["rt60"][cx, cy]),
+            lowpass=float(results["lowpass"][cx, cy]),
+            direction=vec2(float(d[0]), float(d[1])),
+            source_directivity=vec2(float(s[0]), float(s[1])),
+        )
+
+    def get_output(self, emission_id: int) -> PlaneverbOutput:
+        pos = self.emissions.get(emission_id)
+        if pos is None:
+            return invalid_output()
+        return self.result_at(pos[0], pos[2])
+
+    def get_impulse_response(self, x: float, z: float) -> np.ndarray:
+        """Debug IR accessor (Planeverb::GetImpulseResponse analog)."""
+        if self._last_pressure is None:
+            return np.zeros(self.params.response_length, np.float32)
+        p = self.params
+        cx = int(np.float32(x) / np.float32(p.dx))
+        cy = int(np.float32(z) / np.float32(p.dx))
+        cx = min(max(cx, 0), p.nx - 1)
+        cy = min(max(cy, 0), p.ny - 1)
+        return np.asarray(self._last_pressure[:, cx, cy])
+
+    # --------------------------------------------------------------- admin
+    def profile_summary(self) -> dict:
+        return self.timer.stats.summary()

@@ -1,0 +1,51 @@
+"""Emission registry: tracks positions of playing sounds.
+
+Analog of /root/reference ProjectPlaneverb/src/Emissions/EmissionManager.cpp:
+a vector of positions with free-list id reuse (EmissionManager.cpp:37-67).
+Thread-safe by a single lock (the reference reads these unguarded from the
+sim thread; we snapshot instead — SURVEY.md §5 race notes).
+"""
+
+from __future__ import annotations
+
+import threading
+
+__all__ = ["EmissionRegistry"]
+
+
+class EmissionRegistry:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._positions: list[tuple[float, float, float] | None] = []
+        self._free: list[int] = []
+
+    def emit(self, x: float, y: float, z: float) -> int:
+        with self._lock:
+            if self._free:
+                eid = self._free.pop()
+                self._positions[eid] = (x, y, z)
+            else:
+                eid = len(self._positions)
+                self._positions.append((x, y, z))
+            return eid
+
+    def update(self, eid: int, x: float, y: float, z: float) -> None:
+        with self._lock:
+            if 0 <= eid < len(self._positions) and self._positions[eid] is not None:
+                self._positions[eid] = (x, y, z)
+
+    def end(self, eid: int) -> None:
+        with self._lock:
+            if 0 <= eid < len(self._positions) and self._positions[eid] is not None:
+                self._positions[eid] = None
+                self._free.append(eid)
+
+    def get(self, eid: int):
+        with self._lock:
+            if 0 <= eid < len(self._positions):
+                return self._positions[eid]
+            return None
+
+    def snapshot(self) -> dict[int, tuple[float, float, float]]:
+        with self._lock:
+            return {i: p for i, p in enumerate(self._positions) if p is not None}

@@ -1,0 +1,79 @@
+"""Geometry registry: thread-safe AABB set with versioning.
+
+Analog of /root/reference ProjectPlaneverb/src/Geometry/GeometryManager.cpp.
+The reference queues {Add|Remove} deltas behind a mutex and drains them into
+imperative grid paints at the sim sync point (GeometryManager.cpp:123-152);
+un-painting restores free space even under overlaps (a tolerated bug,
+Grid.cpp:249-296). Here the registry keeps the authoritative box set and a
+monotonically increasing version; the engine re-rasterizes the whole field
+set (one vectorized pass, ops/voxelize.py) whenever the version changes —
+idempotent, order-preserving, and race-free by snapshot.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from planeverb_tpu.scene import AABB, Scene
+
+__all__ = ["GeometryRegistry"]
+
+
+class GeometryRegistry:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._boxes: dict[int, AABB] = {}
+        self._order: list[int] = []   # paint order = insertion order
+        self._free: list[int] = []
+        self._next = 0
+        self._version = 0
+
+    @property
+    def version(self) -> int:
+        with self._lock:
+            return self._version
+
+    def add(self, box: AABB) -> int:
+        with self._lock:
+            if self._free:
+                gid = self._free.pop()
+            else:
+                gid = self._next
+                self._next += 1
+            self._boxes[gid] = box
+            self._order.append(gid)
+            self._version += 1
+            return gid
+
+    def update(self, gid: int, box: AABB) -> None:
+        with self._lock:
+            if gid in self._boxes:
+                self._boxes[gid] = box
+                self._version += 1
+
+    def remove(self, gid: int) -> None:
+        with self._lock:
+            if gid in self._boxes:
+                del self._boxes[gid]
+                self._order.remove(gid)
+                self._free.append(gid)
+                self._version += 1
+
+    def get(self, gid: int) -> AABB | None:
+        with self._lock:
+            return self._boxes.get(gid)
+
+    def snapshot(self) -> tuple[int, list[AABB]]:
+        """Returns (version, boxes in paint order)."""
+        with self._lock:
+            return self._version, [self._boxes[g] for g in self._order]
+
+    def load_scene(self, scene: Scene) -> list[int]:
+        return [self.add(b) for b in scene]
+
+    def clear(self) -> None:
+        with self._lock:
+            self._boxes.clear()
+            self._order.clear()
+            self._free.clear()
+            self._version += 1

@@ -1,0 +1,99 @@
+"""Context orchestration + module-level API facade tests."""
+
+import numpy as np
+import pytest
+
+import planeverb_tpu as pv
+from planeverb_tpu import api
+from planeverb_tpu.types import INVALID_DRY_GAIN
+
+CFG = pv.PlaneverbConfig(grid_size_x=10.0, grid_size_y=10.0,
+                         grid_resolution=275)
+
+
+def test_context_end_to_end():
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_position(5.0, 0.0, 5.0)
+    ctx.step()
+    out = ctx.result_at(6.0, 5.0)
+    assert out.valid
+    assert out.occlusion > 0.1
+    assert out.rt60 > 0.0
+    assert 20.0 < out.lowpass <= 20000.0
+    nrm = np.hypot(out.direction.x, out.direction.y)
+    assert abs(nrm - 1.0) < 1e-4
+
+    # out-of-grid source position is invalid
+    assert not ctx.result_at(-5.0, 5.0).valid
+
+    ir = ctx.get_impulse_response(6.0, 5.0)
+    assert ir.shape == (ctx.params.response_length,)
+    assert np.abs(ir).max() > 0
+
+
+def test_geometry_updates_change_results():
+    ctx = pv.Context(CFG)
+    ctx.set_listener_position(2.0, 0.0, 5.0)
+    ctx.step()
+    before = ctx.result_at(8.0, 5.0).occlusion
+
+    gid = ctx.geometry.add(pv.AABB(5.0, 5.0, 0.75, 8.0, 0.98))
+    ctx.step()
+    blocked = ctx.result_at(8.0, 5.0).occlusion
+    assert blocked < 0.6 * before, (blocked, before)
+
+    ctx.geometry.remove(gid)
+    ctx.step()
+    after = ctx.result_at(8.0, 5.0).occlusion
+    assert abs(after - before) < 1e-5 * max(abs(before), 1.0)
+
+
+def test_emission_lifecycle():
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_position(5.0, 0.0, 5.0)
+    ctx.step()
+    e1 = ctx.emissions.emit(6.0, 0.0, 5.0)
+    e2 = ctx.emissions.emit(4.0, 0.0, 5.0)
+    assert e1 != e2
+    assert ctx.get_output(e1).valid
+    ctx.emissions.end(e1)
+    assert ctx.get_output(e1).occlusion == INVALID_DRY_GAIN
+    # free-list id reuse
+    e3 = ctx.emissions.emit(5.5, 0.0, 5.0)
+    assert e3 == e1
+    ctx.emissions.update(e2, 4.5, 0.0, 5.0)
+    assert ctx.emissions.get(e2) == (4.5, 0.0, 5.0)
+
+
+def test_background_thread():
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_position(5.0, 0.0, 5.0)
+    ctx.start()
+    try:
+        assert ctx.wait_for_iteration(2, timeout=120.0)
+    finally:
+        ctx.stop()
+    assert ctx.iteration >= 2
+    assert ctx.result_at(6.0, 5.0).valid
+    prof = ctx.profile_summary()
+    assert "simulate" in prof and "analyze" in prof
+
+
+def test_api_facade():
+    api.init(CFG, scene=pv.demo_scene("SmallRoom"), background=False)
+    try:
+        api.set_listener_position(5.0, 0.0, 5.0)
+        api.get_context().step()
+        eid = api.emit(6.0, 0.0, 5.0)
+        out = api.get_output(eid)
+        assert out.valid
+        gid = api.add_geometry(pv.AABB(5.5, 5.0, 0.4, 3.0, 0.9))
+        api.update_geometry(gid, pv.AABB(5.5, 5.0, 0.5, 3.0, 0.9))
+        api.remove_geometry(gid)
+        api.update_emission(eid, 6.5, 0.0, 5.0)
+        api.end_emission(eid)
+        ir = api.get_impulse_response(6.0, 5.0)
+        assert ir.size > 0
+    finally:
+        api.exit()
+    assert api.get_output(0).occlusion == INVALID_DRY_GAIN
