@@ -58,12 +58,14 @@ def free_field_normalizer(params: GridParams, listener_ix, listener_iy):
     dx = jnp.float32(params.dx)
     rr = jax.lax.broadcasted_iota(jnp.int32, (gx, gy), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (gx, gy), 1)
-    ex = rr.astype(jnp.float32) * dx
-    ey = cc.astype(jnp.float32) * dx
-    lx = listener_ix.astype(jnp.float32) * dx
-    ly = listener_iy.astype(jnp.float32) * dx
-    r = jnp.sqrt((ex - lx) ** 2 + (ey - ly) ** 2)
-    return jnp.where(r == 0.0, 1.0, 1.0 / r)
+    # Distance in integer index space: ``i*dx - lix*dx`` in floats invites an
+    # XLA FMA fusion that leaves a tiny nonzero residue at the listener cell,
+    # blowing up 1/r — the integer difference keeps the r==0 test exact.
+    di = (rr - listener_ix).astype(jnp.float32)
+    dj = (cc - listener_iy).astype(jnp.float32)
+    r = jnp.sqrt(di * di + dj * dj) * dx
+    at_listener = (rr == listener_ix) & (cc == listener_iy)
+    return jnp.where(at_listener, 1.0, 1.0 / jnp.where(at_listener, 1.0, r))
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
