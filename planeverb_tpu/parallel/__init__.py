@@ -1,0 +1,14 @@
+"""Multi-chip execution: device mesh + spatially sharded FDTD solver.
+
+The reference is single-process shared-memory C++ with no distributed story
+(SURVEY.md §2 parallelism inventory). This package is the TPU-native design
+the reference never had: the solver grid is sharded over a 2D
+``jax.sharding.Mesh``, one-cell halos are exchanged via ``ppermute`` each
+timestep inside ``shard_map`` (riding ICI), and the analyzer runs under the
+same sharding with XLA inserting the few collectives it needs.
+"""
+
+from planeverb_tpu.parallel.mesh import grid_mesh, pad_to_mesh
+from planeverb_tpu.parallel.solver import simulate_sharded
+
+__all__ = ["grid_mesh", "pad_to_mesh", "simulate_sharded"]

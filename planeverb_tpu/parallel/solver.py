@@ -1,0 +1,181 @@
+"""Spatially sharded FDTD solver — shard_map + per-step ppermute halo exchange.
+
+TPU-native scaling design (no reference analog; the C++ engine is single
+process — SURVEY.md §2). The [nx, ny] pressure/velocity fields are split into
+per-device blocks over a 2D ("x", "y") mesh. Each timestep exchanges exactly
+four one-cell halo slabs between neighboring shards with ``lax.ppermute``
+(nearest-neighbor ⇒ single ICI hop), fused by XLA around the local stencil:
+
+  - pressure update needs vx at i+1 / vy at j+1  → forward halos
+  - velocity update needs p (and beta/Y) at i-1 / j-1 → backward halos
+
+beta/Y are static per simulation, so their backward halos are exchanged once
+before the timestep loop. The outer-edge impedance ABC and the reciprocal
+source injection are expressed as global-index masks, making every shard's
+program identical (SPMD), with semantics matching ops/fdtd.py exactly
+(reference: ProjectPlaneverb/src/FDTD/FDTD.cpp:87-236).
+
+Fields are zero-padded up to mesh-divisible shapes; padding carries beta = 0
+(solid), which provably stays silent under the update rules, so the padded
+solve restricted to the real region equals the unpadded solve.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from planeverb_tpu.config import BoundaryType, GridParams
+from planeverb_tpu.ops.fdtd import FdtdResult, admittance
+
+__all__ = ["simulate_sharded", "shard_fields"]
+
+
+def _shift_from_prev(x, axis_name, axis):
+    """Roll +1 along ``axis``: out[i] = x[i-1], first slot from the previous
+    shard's last slice (zeros at the global edge)."""
+    n = jax.lax.axis_size(axis_name)
+    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    if n > 1:
+        last = jax.lax.ppermute(last, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    else:
+        last = jnp.zeros_like(last)
+    body = jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)
+    return jnp.concatenate([last, body], axis=axis)
+
+
+def _shift_from_next(x, axis_name, axis):
+    """Roll -1 along ``axis``: out[i] = x[i+1], last slot from the next
+    shard's first slice (zeros at the global edge)."""
+    n = jax.lax.axis_size(axis_name)
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    if n > 1:
+        first = jax.lax.ppermute(first, axis_name,
+                                 [(i + 1, i) for i in range(n - 1)])
+    else:
+        first = jnp.zeros_like(first)
+    body = jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis)
+    return jnp.concatenate([body, first], axis=axis)
+
+
+def shard_fields(mesh: Mesh, *arrays):
+    """Place [nx, ny] arrays with ("x", "y") PartitionSpec on the mesh."""
+    sharding = NamedSharding(mesh, P("x", "y"))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def simulate_sharded(params: GridParams, beta, refl, pulse,
+                     listener_ix, listener_iy, mesh: Mesh,
+                     nx_pad: int, ny_pad: int) -> FdtdResult:
+    """Run one simulation pass sharded over ``mesh``.
+
+    Args:
+      params: static grid parameters (unpadded semantics).
+      beta, refl: [nx_pad, ny_pad] fields, padded with beta=0 outside
+        [0:nx, 0:ny] (see parallel.mesh.pad_to_mesh).
+      pulse: [T] source pulse.
+      listener_ix, listener_iy: listener cell (traced int32).
+      nx_pad, ny_pad: static padded dims, divisible by the mesh shape.
+
+    Returns FdtdResult with padded [T, nx_pad, ny_pad] pressure and
+    [nx_pad, ny_pad] onset/flux grids (crop to params.nx/ny for analysis).
+    """
+    gx, gy = params.grid_x, params.grid_y
+    courant = jnp.float32(params.courant)
+    thr = jnp.float32(params.constants.audible_threshold_gain)
+    src_dir_n = jnp.float32(params.source_dir_samples)
+    absorbing = params.boundary_type == BoundaryType.ABSORBING
+    T = params.response_length
+    mx = mesh.shape["x"]
+    my = mesh.shape["y"]
+    bx = nx_pad // mx
+    by = ny_pad // my
+
+    def local_sim(beta, Y, pulse, lix, liy):
+        px = jax.lax.axis_index("x")
+        py = jax.lax.axis_index("y")
+        gi = (px * bx + jax.lax.broadcasted_iota(jnp.int32, (bx, by), 0))
+        gj = (py * by + jax.lax.broadcasted_iota(jnp.int32, (bx, by), 1))
+
+        # static backward halos for the wall admittance cross terms
+        b_xm = _shift_from_prev(beta, "x", 0)
+        y_xm = _shift_from_prev(Y, "x", 0)
+        b_ym = _shift_from_prev(beta, "y", 1)
+        y_ym = _shift_from_prev(Y, "y", 1)
+
+        src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
+        row0 = (gi == 0)
+        row_gx = (gi == gx)
+        col0 = (gj == 0)
+        col_gy = (gj == gy)
+        in_gy = (gj < gy)
+        in_gx = (gi < gx)
+
+        p0 = jnp.zeros((bx, by), jnp.float32)
+        onset0 = jnp.full((bx, by), jnp.inf, jnp.float32)
+
+        def step(carry, xt):
+            p, vx, vy, onset, fx, fy = carry
+            t, pulse_t = xt
+
+            # -- pressure: p = beta * (p - C * div v)    (FDTD.cpp:124-141)
+            vx_xp = _shift_from_next(vx, "x", 0)
+            vy_yp = _shift_from_next(vy, "y", 1)
+            div = (vx_xp - vx) + (vy_yp - vy)
+            p = beta * (p - courant * div)
+
+            # -- velocities with admittance walls        (FDTD.cpp:143-199)
+            p_xm = _shift_from_prev(p, "x", 0)
+            air = vx - courant * (p - p_xm)
+            y_bound = beta * y_xm + b_xm * Y
+            wall = y_bound * (p_xm * b_xm + p * beta)
+            vx_new = beta * b_xm * air + (b_xm - beta) * wall
+
+            p_ym = _shift_from_prev(p, "y", 1)
+            air = vy - courant * (p - p_ym)
+            y_bound = beta * y_ym + b_ym * Y
+            wall = y_bound * (p_ym * b_ym + p * beta)
+            vy_new = beta * b_ym * air + (b_ym - beta) * wall
+
+            # -- outer edge ABC as global-index masks    (FDTD.cpp:201-223)
+            if absorbing:
+                top = jnp.where(in_gy, -p, 0.0)
+                bot = jnp.where(in_gy, p_xm, 0.0)
+                left = jnp.where(in_gx, -p, 0.0)
+                right = jnp.where(in_gx, p_ym, 0.0)
+            else:
+                top = bot = left = right = jnp.zeros_like(p)
+            vx = jnp.where(row0, top, jnp.where(row_gx, bot, vx_new))
+            vy = jnp.where(col0, left, jnp.where(col_gy, right, vy_new))
+
+            # -- streaming onset + directivity flux (ops/fdtd.py semantics)
+            tf = t.astype(jnp.float32)
+            onset = jnp.minimum(onset, jnp.where(jnp.abs(p) > thr, tf, jnp.inf))
+            m = (tf < onset + src_dir_n).astype(jnp.float32)
+            fx = fx + m * p * vx
+            fy = fy + m * p * vy
+
+            rec = p  # record pre-injection (reciprocity source at listener)
+            p = p + src_mask * pulse_t
+            return (p, vx, vy, onset, fx, fy), rec
+
+        ts = jnp.arange(T, dtype=jnp.int32)
+        (_, _, _, onset, fx, fy), pressure = jax.lax.scan(
+            step, (p0, p0, p0, onset0, p0, p0), (ts, pulse))
+        return pressure, onset, fx, fy
+
+    shard = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("x", "y"), P("x", "y"), P(), P(), P()),
+        out_specs=(P(None, "x", "y"), P("x", "y"), P("x", "y"), P("x", "y")),
+        check_vma=False,
+    )
+    Y = admittance(refl)
+    pressure, onset, fx, fy = shard(local_sim)(
+        beta, Y, pulse, listener_ix, listener_iy)
+    return FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)

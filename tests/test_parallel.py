@@ -1,0 +1,118 @@
+"""Sharded-solver tests on the 8-device virtual CPU mesh (SURVEY.md §4.4).
+
+Golden check: the spatially sharded solver must reproduce the single-chip
+solver's fields bit-for-bit-modulo-f32-reduction on every mesh shape,
+including shapes that require padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from planeverb_tpu.config import PlaneverbConfig, compute_grid_params
+from planeverb_tpu.ops import analyzer, fdtd, voxelize
+from planeverb_tpu.parallel import grid_mesh, pad_to_mesh, simulate_sharded
+from planeverb_tpu.parallel.mesh import factor_mesh
+from planeverb_tpu.scene import demo_scene
+
+CFG = PlaneverbConfig(grid_size_x=10.0, grid_size_y=10.0, grid_resolution=275)
+LISTENER = (5.0, 5.0)
+
+
+def _setup(scene):
+    p = compute_grid_params(CFG)
+    boxes = scene.boxes if scene else []
+    beta, refl = voxelize.voxelize_np(p, boxes)
+    pulse = oracle.gaussian_pulse(p)
+    lix, liy = p.world_to_cell(*LISTENER)
+    return p, beta, refl, pulse, lix, liy
+
+
+def _pad(arr, nx_pad, ny_pad):
+    out = np.zeros((nx_pad, ny_pad), np.float32)
+    out[:arr.shape[0], :arr.shape[1]] = arr
+    return out
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8, \
+        "conftest must provide 8 virtual CPU devices"
+
+
+def test_factor_mesh():
+    assert factor_mesh(8) == (2, 4)
+    assert factor_mesh(4) == (2, 2)
+    assert factor_mesh(16) == (4, 4)
+    assert factor_mesh(7) == (1, 7)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 8), (2, 4), (8, 1)])
+def test_sharded_matches_single_chip(shape):
+    p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+    ref = fdtd.simulate(p, beta, refl, pulse, lix, liy)
+
+    n = shape[0] * shape[1]
+    mesh = grid_mesh(jax.devices()[:n], shape)
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    res = simulate_sharded(p, _pad(beta, nx_pad, ny_pad),
+                           _pad(refl, nx_pad, ny_pad), pulse,
+                           jnp.int32(lix), jnp.int32(liy), mesh,
+                           nx_pad, ny_pad)
+
+    np.testing.assert_allclose(
+        np.asarray(res.pressure)[:, :p.nx, :p.ny],
+        np.asarray(ref.pressure), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(res.onset)[:p.nx, :p.ny], np.asarray(ref.onset))
+    np.testing.assert_allclose(
+        np.asarray(res.flux_x)[:p.nx, :p.ny], np.asarray(ref.flux_x),
+        atol=1e-6)
+
+
+def test_padding_stays_silent():
+    """Padded cells (beta=0) must never develop pressure or velocity."""
+    p, beta, refl, pulse, lix, liy = _setup(None)
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    assert (nx_pad, ny_pad) != (p.nx, p.ny)  # padding actually exercised
+    res = simulate_sharded(p, _pad(beta, nx_pad, ny_pad),
+                           _pad(refl, nx_pad, ny_pad), pulse,
+                           jnp.int32(lix), jnp.int32(liy), mesh,
+                           nx_pad, ny_pad)
+    pr = np.asarray(res.pressure)
+    assert np.abs(pr[:, p.nx:, :]).max() == 0.0
+    assert np.abs(pr[:, :, p.ny:]).max() == 0.0
+
+
+def test_end_to_end_sharded_analysis():
+    """simulate_sharded -> analyzer.analyze equals the single-chip pipeline."""
+    from planeverb_tpu.core.free_grid import calibrate_free_field
+
+    p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+    efree = calibrate_free_field(p)
+
+    ref = fdtd.simulate(p, beta, refl, pulse, lix, liy)
+    out_ref = analyzer.analyze(p, ref.pressure, ref.onset, ref.flux_x,
+                               ref.flux_y, np.float32(efree),
+                               np.float32(LISTENER[0]), np.float32(LISTENER[1]))
+
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    res = simulate_sharded(p, _pad(beta, nx_pad, ny_pad),
+                           _pad(refl, nx_pad, ny_pad), pulse,
+                           jnp.int32(lix), jnp.int32(liy), mesh,
+                           nx_pad, ny_pad)
+    out = analyzer.analyze(p, res.pressure[:, :p.nx, :p.ny],
+                           res.onset[:p.nx, :p.ny],
+                           res.flux_x[:p.nx, :p.ny],
+                           res.flux_y[:p.nx, :p.ny], np.float32(efree),
+                           np.float32(LISTENER[0]), np.float32(LISTENER[1]))
+
+    np.testing.assert_allclose(np.asarray(out.occlusion),
+                               np.asarray(out_ref.occlusion), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.rt60),
+                               np.asarray(out_ref.rt60), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.direction),
+                               np.asarray(out_ref.direction), atol=1e-4)
