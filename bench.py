@@ -21,19 +21,24 @@ import time
 import numpy as np
 
 
-def time_best(fn, repeats: int = 5) -> float:
-    """Best-of-N wall time of fn(i) -> scalar-fetchable result.
+def time_chained(fn, n: int = 10, reps: int = 3) -> float:
+    """Per-pass wall time of fn, measured as a chain of n dependent runs.
 
-    fn must *fetch* (device->host) something derived from its result: on the
-    tunneled axon backend ``block_until_ready`` returns immediately, and
-    identical executions can be served from a relay cache — so fn takes the
-    repeat index to perturb its inputs.
+    On the tunneled axon backend ``block_until_ready`` returns immediately
+    and per-call device->host readback latency (~25-40 ms) swamps the kernel
+    time, so: fn(eps) must seed its input with eps and return a scalar jax
+    value derived from its output; the chain feeds each output into the next
+    input (forcing sequential device execution, defeating result caching)
+    and fetches once at the end.
     """
     best = float("inf")
-    for i in range(repeats):
+    for rep in range(reps):
         t0 = time.perf_counter()
-        fn(i)
-        best = min(best, time.perf_counter() - t0)
+        eps = 1e-3 * (rep + 1)
+        for _ in range(n):
+            eps = fn(eps) * 1e-6
+        float(np.asarray(eps))  # single fetch drains the chain
+        best = min(best, (time.perf_counter() - t0) / n)
     return best
 
 
@@ -68,26 +73,28 @@ def main() -> None:
     T = params.response_length
     cell_updates = cells * T
 
-    # --- device: fused sim + analyze (one full pipeline pass)
-    scales = jnp.linspace(1.0, 1.01, 16)
+    # --- device: fused Pallas sim + analyze (one full pipeline pass)
+    from planeverb_tpu.ops.fdtd_pallas import simulate_auto
 
-    def full_pass(i):
-        res = fdtd.simulate(params, beta, refl, pulse * scales[i], lix, liy)
+    def full_pass(eps):
+        res = simulate_auto(params, beta, refl, pulse * (1.0 + eps),
+                            lix, liy)
         out = analyzer.analyze(params, res.pressure, res.onset,
                                res.flux_x, res.flux_y,
                                jnp.float32(1.0), jnp.float32(12.5),
                                jnp.float32(12.5))
-        return float(out.occlusion[0, 0]) + float(out.rt60[5, 5])
+        return out.occlusion[5, 5] + out.rt60[5, 5]
 
-    full_pass(15)  # compile + warm
-    t_pipeline = time_best(full_pass)
+    float(np.asarray(full_pass(0.0)))  # compile + warm
+    t_pipeline = time_chained(full_pass)
 
-    def sim_only(i):
-        res = fdtd.simulate(params, beta, refl, pulse * scales[i + 5], lix, liy)
-        return float(res.pressure[T - 1, 5, 5])
+    def sim_only(eps):
+        res = simulate_auto(params, beta, refl, pulse * (1.0 + eps),
+                            lix, liy)
+        return res.pressure[T - 1, 5, 5]
 
-    sim_only(10)
-    t_sim = time_best(sim_only)
+    float(np.asarray(sim_only(0.0)))
+    t_sim = time_chained(sim_only)
 
     # --- baseline: NumPy oracle solver, per-step cost extrapolated from a
     # reduced-step run (the oracle's analyzer is a test-only per-cell Python

@@ -28,7 +28,8 @@ from planeverb_tpu.config import (GridParams, PlaneverbConfig,
 from planeverb_tpu.core.emissions import EmissionRegistry
 from planeverb_tpu.core.free_grid import calibrate_free_field
 from planeverb_tpu.core.geometry import GeometryRegistry
-from planeverb_tpu.ops import analyzer, fdtd, voxelize
+from planeverb_tpu.ops import analyzer, voxelize
+from planeverb_tpu.ops.fdtd_pallas import simulate_auto
 from planeverb_tpu.scene import Scene
 from planeverb_tpu.types import PlaneverbOutput, invalid_output, vec2
 from planeverb_tpu.utils.profiling import StageTimer
@@ -124,7 +125,7 @@ class Context:
 
         cix, ciy = self.params.world_to_cell(lx, lz)
         with self.timer.stage("simulate"):
-            res = fdtd.simulate(self.params, self._beta, self._refl,
+            res = simulate_auto(self.params, self._beta, self._refl,
                                 self._pulse, cix, ciy)
             res.pressure.block_until_ready()
         with self.timer.stage("analyze"):

@@ -19,7 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from planeverb_tpu.config import GridParams, gaussian_pulse
-from planeverb_tpu.ops import fdtd, voxelize
+from planeverb_tpu.ops import voxelize
+from planeverb_tpu.ops.fdtd_pallas import simulate_auto
 
 __all__ = ["calibrate_free_field", "clear_cache"]
 
@@ -52,7 +53,7 @@ def calibrate_free_field(params: GridParams) -> float:
     wy = float(np.float32(ly) * np.float32(params.dx))
     cix, ciy = params.world_to_cell(wx, wy)
 
-    res = fdtd.simulate(params, jnp.asarray(beta), jnp.asarray(refl),
+    res = simulate_auto(params, jnp.asarray(beta), jnp.asarray(refl),
                         jnp.asarray(pulse), cix, ciy)
     sig = np.asarray(res.pressure[:, emitter_x, emitter_y])
 
