@@ -1,0 +1,144 @@
+"""Native runtime: C++ real-time DSP renderer with ctypes bindings.
+
+The reference's audio-thread pipeline is C++ (PvDSPContext.cpp); so is ours.
+:class:`NativeDSPContext` mirrors :class:`planeverb_tpu.dsp.DSPContext`'s
+Python interface 1:1 but runs the per-callback hot loop in compiled C++ with
+no Python between ``submit_source`` and the output buses — suitable for real
+audio callbacks. Semantics parity is pinned by tests/test_native_dsp.py.
+
+The shared library is built on first import with g++ (no external build
+system needed); the artifact is cached next to the source and rebuilt when
+pv_dsp.cpp changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+from planeverb_tpu.config import PlaneverbDSPConfig
+
+__all__ = ["NativeDSPContext", "load_library", "build_library"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "pv_dsp.cpp")
+_BUILD = os.path.join(_DIR, "build")
+_LIB: ctypes.CDLL | None = None
+
+
+def _src_tag() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def build_library(force: bool = False) -> str:
+    """Compile pv_dsp.cpp into a shared library; returns its path."""
+    os.makedirs(_BUILD, exist_ok=True)
+    lib_path = os.path.join(_BUILD, f"libpvdsp-{_src_tag()}.so")
+    if force or not os.path.exists(lib_path):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", lib_path, _SRC],
+            check=True, capture_output=True)
+    return lib_path
+
+
+def load_library() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    lib = ctypes.CDLL(build_library())
+    f32 = ctypes.c_float
+    pf32 = ctypes.POINTER(ctypes.c_float)
+    lib.pvdsp_init.restype = ctypes.c_void_p
+    lib.pvdsp_init.argtypes = [ctypes.c_int, f32, f32, ctypes.c_int, f32]
+    lib.pvdsp_exit.argtypes = [ctypes.c_void_p]
+    lib.pvdsp_set_listener_transform.argtypes = [ctypes.c_void_p] + [f32] * 6
+    lib.pvdsp_update_emitter.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64] + [f32] * 6)
+    lib.pvdsp_set_emitter_directivity_pattern.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.pvdsp_remove_emitter.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.pvdsp_submit_source.restype = ctypes.c_int
+    lib.pvdsp_submit_source.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64] + [f32] * 8
+        + [pf32, ctypes.c_int, ctypes.c_int])
+    lib.pvdsp_get_output.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(pf32)] * 4
+    _LIB = lib
+    return lib
+
+
+class NativeDSPContext:
+    """Drop-in native replacement for planeverb_tpu.dsp.DSPContext."""
+
+    def __init__(self, config: PlaneverbDSPConfig | None = None):
+        self.config = config or PlaneverbDSPConfig()
+        self.config.validate()
+        self._lib = load_library()
+        self._h = self._lib.pvdsp_init(
+            self.config.max_callback_length,
+            float(self.config.dsp_smoothing_factor),
+            float(self.config.sampling_rate),
+            int(self.config.use_spatialization),
+            float(self.config.wet_gain_ratio))
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.pvdsp_exit(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def set_listener_transform(self, position, forward) -> None:
+        self._lib.pvdsp_set_listener_transform(self._h, *map(float, position),
+                                               *map(float, forward))
+
+    def update_emitter(self, eid: int, position, forward) -> None:
+        p = list(map(float, position))
+        f = list(map(float, forward))
+        if len(p) == 2:
+            p = [p[0], 0.0, p[1]]
+        if len(f) == 2:
+            f = [f[0], 0.0, f[1]]
+        self._lib.pvdsp_update_emitter(self._h, eid, *p, *f)
+
+    def set_emitter_directivity_pattern(self, eid: int, pattern: int) -> None:
+        self._lib.pvdsp_set_emitter_directivity_pattern(self._h, eid, pattern)
+
+    def remove_emitter(self, eid: int) -> None:
+        self._lib.pvdsp_remove_emitter(self._h, eid)
+
+    def submit_source(self, eid: int, dsp_input, audio: np.ndarray) -> None:
+        audio = np.ascontiguousarray(audio, dtype=np.float32)
+        channels = 1 if audio.ndim == 1 else audio.shape[1]
+        frames = audio.shape[0]
+        self._lib.pvdsp_submit_source(
+            self._h, eid,
+            float(dsp_input.occlusion), float(dsp_input.wet_gain),
+            float(dsp_input.rt60), float(dsp_input.lowpass),
+            float(dsp_input.direction.x), float(dsp_input.direction.y),
+            float(dsp_input.source_directivity.x),
+            float(dsp_input.source_directivity.y),
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frames, channels)
+
+    def get_output(self):
+        """Returns (dry, wetA, wetB, wetC) as [max_callback, 2] float32
+        copies; swaps and zeroes the native back buffers."""
+        ptrs = [ctypes.POINTER(ctypes.c_float)() for _ in range(4)]
+        self._lib.pvdsp_get_output(self._h, *[ctypes.byref(p) for p in ptrs])
+        n = self.config.max_callback_length
+        out = []
+        for p in ptrs:
+            buf = np.ctypeslib.as_array(p, shape=(n, 2))
+            out.append(buf.copy())
+        return tuple(out)

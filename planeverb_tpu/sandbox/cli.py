@@ -1,0 +1,248 @@
+"""Sandbox CLI — the reference's GLFW/ImGui editor as a batch tool.
+
+The reference sandbox (PlaneverbSandbox/src/Editor/Editor.cpp) loads .pv
+scenes, shows live acoustic parameters in dB, plots impulse responses, and
+plays processed audio. This CLI exposes the same workflows headlessly:
+
+  python -m planeverb_tpu analyze SmallRoom --listener 5,5 --source 6.5,5
+  python -m planeverb_tpu ir     SmallRoom --listener 5,5 --source 6.5,5 -o ir.wav
+  python -m planeverb_tpu render SmallRoom --listener 5,5 --source 6.5,5 \
+      --in voice.wav --out-dir out/
+  python -m planeverb_tpu sweep  -o sweep.csv
+  python -m planeverb_tpu grid   SmallRoom
+  python -m planeverb_tpu scenes
+
+Scene arguments accept either a .pv file path or a built-in demo scene name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+from planeverb_tpu.config import PlaneverbConfig, PlaneverbDSPConfig, Resolution
+from planeverb_tpu.core.context import Context
+from planeverb_tpu.scene import DEMO_SCENES, Scene, demo_scene, load_pv
+from planeverb_tpu.types import PlaneverbOutput
+
+__all__ = ["main"]
+
+
+def _load_scene(name: str | None) -> Scene | None:
+    if not name or name == "empty":
+        return None
+    if os.path.exists(name):
+        return load_pv(name)
+    if name in DEMO_SCENES:
+        return demo_scene(name)
+    raise SystemExit(f"error: scene '{name}' is neither a .pv file nor one of "
+                     f"{sorted(DEMO_SCENES)}")
+
+
+def _xy(text: str) -> tuple[float, float]:
+    try:
+        a, b = text.split(",")
+        return float(a), float(b)
+    except ValueError:
+        raise SystemExit(f"error: expected 'x,z' pair, got {text!r}")
+
+
+def _config(args) -> PlaneverbConfig:
+    return PlaneverbConfig(
+        grid_size_x=args.grid_size, grid_size_y=args.grid_size,
+        grid_resolution=args.resolution)
+
+
+def _db(x: float) -> float:
+    return 20.0 * math.log10(max(abs(x), 1e-10))
+
+
+def _print_params(out: PlaneverbOutput) -> None:
+    # dB readout like the editor's parameter window (Editor.cpp:396-434)
+    if not out.valid:
+        print("  <invalid: source outside grid or no simulation yet>")
+        return
+    print(f"  occlusion (dry gain): {out.occlusion:10.5f}  "
+          f"({_db(out.occlusion):7.2f} dB)")
+    print(f"  wet gain:             {out.wet_gain:10.5f}  "
+          f"({_db(out.wet_gain):7.2f} dB)")
+    print(f"  rt60:                 {out.rt60:10.5f}  s")
+    print(f"  lowpass cutoff:       {out.lowpass:10.2f}  Hz")
+    print(f"  direction:            ({out.direction.x:+.4f}, "
+          f"{out.direction.y:+.4f})")
+    print(f"  source directivity:   ({out.source_directivity.x:+.4f}, "
+          f"{out.source_directivity.y:+.4f})")
+
+
+def _run_context(args):
+    ctx = Context(_config(args), scene=_load_scene(args.scene))
+    lx, lz = _xy(args.listener)
+    ctx.set_listener_position(lx, 0.0, lz)
+    ctx.step()
+    return ctx
+
+
+def cmd_analyze(args) -> int:
+    sources = [_xy(s) for s in args.source]  # fail fast, before the sim
+    ctx = _run_context(args)
+    for sx, sz in sources:
+        print(f"source ({sx:g}, {sz:g}):")
+        _print_params(ctx.result_at(sx, sz))
+    return 0
+
+
+def cmd_ir(args) -> int:
+    from planeverb_tpu.sandbox.wav import write_wav
+
+    sx, sz = _xy(args.source[0])  # fail fast, before the sim
+    ctx = _run_context(args)
+    ir = ctx.get_impulse_response(sx, sz)
+    if args.output.endswith(".csv"):
+        with open(args.output, "w") as f:
+            f.write("sample,pressure\n")
+            for i, v in enumerate(ir):
+                f.write(f"{i},{v:.8g}\n")
+    else:
+        peak = float(np.abs(ir).max()) or 1.0
+        write_wav(args.output, ir / peak, ctx.params.fs, float32=True)
+    print(f"wrote {len(ir)}-sample IR (fs={ctx.params.fs} Hz) to {args.output}")
+    return 0
+
+
+def cmd_render(args) -> int:
+    from planeverb_tpu.sandbox.wav import read_wav, write_wav
+
+    if args.native:
+        from planeverb_tpu.native import NativeDSPContext as DSP
+    else:
+        from planeverb_tpu.dsp import DSPContext as DSP
+
+    sx, sz = _xy(args.source[0])  # fail fast, before the sim
+    lx, lz = _xy(args.listener)
+    ctx = _run_context(args)
+    out = ctx.result_at(sx, sz)
+    if not out.valid:
+        raise SystemExit("error: source position has no valid parameters")
+
+    audio, rate = read_wav(args.infile)
+    if audio.ndim == 1:
+        audio = np.stack([audio, audio], axis=-1)
+    block = args.block
+    dsp_cfg = PlaneverbDSPConfig(max_callback_length=block, sampling_rate=rate)
+    dsp = DSP(dsp_cfg)
+    dsp.set_listener_transform((lx, 0.0, lz), (1.0, 0.0, 0.0))
+    fwd = (lx - sx, lz - sz)
+    norm = math.hypot(*fwd) or 1.0
+    dsp.update_emitter(0, (sx, 0.0, sz), (fwd[0] / norm, 0.0, fwd[1] / norm))
+
+    n = len(audio)
+    buses = [np.zeros((n, 2), np.float32) for _ in range(4)]
+    for start in range(0, n, block):
+        chunk = audio[start:start + block]
+        dsp.submit_source(0, out, chunk)
+        rendered = dsp.get_output()
+        m = len(chunk)
+        for bus, ren in zip(buses, rendered):
+            bus[start:start + m] = ren[:m]
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    names = ["dry", "wet_a_0.5s", "wet_b_1.0s", "wet_c_3.0s"]
+    for name, bus in zip(names, buses):
+        path = os.path.join(args.out_dir, f"{name}.wav")
+        write_wav(path, bus, rate)
+    print(f"rendered {n} frames into {args.out_dir}/ "
+          f"({', '.join(names)}; engine={'native' if args.native else 'python'})")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from planeverb_tpu.sandbox.sweep import door_sweep
+
+    result = door_sweep(_config(args), steps=args.steps)
+    result.to_csv(args.output)
+    print(f"wrote {args.steps}-step door sweep to {args.output}")
+    return 0
+
+
+def cmd_grid(args) -> int:
+    # ASCII voxelization dump (Grid::PrintGrid analog, Grid.cpp:306-357)
+    from planeverb_tpu.config import compute_grid_params
+    from planeverb_tpu.ops import voxelize
+
+    params = compute_grid_params(_config(args))
+    scene = _load_scene(args.scene)
+    beta, _ = voxelize.voxelize_np(params, scene.boxes if scene else [])
+    for i in range(params.nx):
+        print("".join("." if beta[i, j] > 0 else "#"
+                      for j in range(params.ny)))
+    return 0
+
+
+def cmd_scenes(_args) -> int:
+    for name, scene in DEMO_SCENES.items():
+        print(f"{name:20s} {len(scene.boxes):3d} boxes")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="planeverb_tpu",
+        description="TPU-native wave acoustics sandbox (Planeverb analog)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def common(p, scene=True):
+        if scene:
+            p.add_argument("scene", help=".pv file or demo scene name")
+        p.add_argument("--listener", default="5,5", help="listener x,z (m)")
+        p.add_argument("--resolution", type=int,
+                       default=int(Resolution.DEFAULT),
+                       help="max simulated frequency Hz (275/375/500/750)")
+        p.add_argument("--grid-size", type=float, default=10.0,
+                       help="square grid edge length (m)")
+
+    p = sub.add_parser("analyze", help="print acoustic params at source positions")
+    common(p)
+    p.add_argument("--source", action="append", required=True,
+                   help="source x,z (repeatable)")
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("ir", help="dump an impulse response to .wav/.csv")
+    common(p)
+    p.add_argument("--source", action="append", required=True)
+    p.add_argument("-o", "--output", default="ir.wav")
+    p.set_defaults(fn=cmd_ir)
+
+    p = sub.add_parser("render", help="render a wav through the DSP pipeline")
+    common(p)
+    p.add_argument("--source", action="append", required=True)
+    p.add_argument("--in", dest="infile", required=True, help="input wav")
+    p.add_argument("--out-dir", default="rendered")
+    p.add_argument("--block", type=int, default=512,
+                   help="callback block size (frames)")
+    p.add_argument("--native", action="store_true",
+                   help="use the C++ renderer instead of the Python one")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("sweep", help="WetDryDoorPlot-style door sweep to CSV")
+    common(p, scene=False)
+    p.add_argument("--steps", type=int, default=101)
+    p.add_argument("-o", "--output", default="sweep.csv")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("grid", help="ASCII dump of the voxelized grid")
+    common(p)
+    p.set_defaults(fn=cmd_grid)
+
+    p = sub.add_parser("scenes", help="list built-in demo scenes")
+    p.set_defaults(fn=cmd_scenes)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Sandbox front-end tests: WAV I/O, CLI commands, door-sweep harness."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from planeverb_tpu.config import PlaneverbConfig
+from planeverb_tpu.sandbox.cli import main
+from planeverb_tpu.sandbox.sweep import door_sweep
+from planeverb_tpu.sandbox.wav import read_wav, write_wav
+
+
+class TestWav:
+    def test_roundtrip_pcm16_stereo(self, tmp_path):
+        rng = np.random.default_rng(0)
+        x = (rng.uniform(-0.9, 0.9, (1000, 2))).astype(np.float32)
+        p = str(tmp_path / "t.wav")
+        write_wav(p, x, 22050)
+        y, rate = read_wav(p)
+        assert rate == 22050
+        assert y.shape == (1000, 2)
+        # write scales by 32767, read divides by 32768: quantization plus a
+        # 32767/32768 scale factor bounds the roundtrip error at ~1e-4
+        np.testing.assert_allclose(y, x, atol=1e-4)
+
+    def test_roundtrip_float32_mono(self, tmp_path):
+        x = np.sin(np.linspace(0, 40, 500)).astype(np.float32)
+        p = str(tmp_path / "t.wav")
+        write_wav(p, x, 44100, float32=True)
+        y, rate = read_wav(p)
+        assert rate == 44100
+        np.testing.assert_array_equal(y, x)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "bad.wav")
+        with open(p, "wb") as f:
+            f.write(b"not a wav file at all")
+        with pytest.raises(ValueError):
+            read_wav(p)
+
+
+class TestCli:
+    def test_scenes(self, capsys):
+        assert main(["scenes"]) == 0
+        out = capsys.readouterr().out
+        assert "SmallRoom" in out and "FloorPlanScene" in out
+
+    def test_analyze(self, capsys):
+        rc = main(["analyze", "SmallRoom", "--listener", "5,5",
+                   "--source", "6.5,5", "--resolution", "275"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "occlusion" in out and "rt60" in out and "dB" in out
+
+    def test_analyze_unknown_scene(self):
+        with pytest.raises(SystemExit):
+            main(["analyze", "NoSuchScene", "--source", "1,1"])
+
+    def test_grid(self, capsys):
+        rc = main(["grid", "SmallRoom", "--resolution", "275"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "#" in out and "." in out
+
+    def test_ir_csv(self, tmp_path, capsys):
+        out_path = str(tmp_path / "ir.csv")
+        rc = main(["ir", "SmallRoom", "--listener", "5,5",
+                   "--source", "6.5,5", "--resolution", "275",
+                   "-o", out_path])
+        assert rc == 0
+        lines = open(out_path).read().strip().splitlines()
+        assert lines[0] == "sample,pressure"
+        assert len(lines) > 100
+
+    def test_render_native_and_python_agree(self, tmp_path, capsys):
+        t = np.arange(4410) / 44100.0
+        tone = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+        src = str(tmp_path / "in.wav")
+        write_wav(src, tone, 44100)
+        outs = {}
+        for flavor, extra in (("py", []), ("nat", ["--native"])):
+            out_dir = str(tmp_path / flavor)
+            rc = main(["render", "SmallRoom", "--listener", "5,5",
+                       "--source", "6.5,5", "--resolution", "275",
+                       "--in", src, "--out-dir", out_dir] + extra)
+            assert rc == 0
+            outs[flavor] = {
+                n: read_wav(os.path.join(out_dir, f"{n}.wav"))[0]
+                for n in ("dry", "wet_a_0.5s", "wet_b_1.0s", "wet_c_3.0s")}
+        for name in outs["py"]:
+            assert np.abs(outs["py"][name]).max() > 0 or "c_3" in name
+            np.testing.assert_allclose(
+                outs["nat"][name], outs["py"][name], atol=5e-4,
+                err_msg=f"native/python render mismatch on {name}")
+
+
+class TestSweep:
+    def test_door_sweep_smooth_and_monotonicish(self):
+        cfg = PlaneverbConfig(grid_size_x=10.0, grid_size_y=10.0,
+                              grid_resolution=275)
+        res = door_sweep(cfg, steps=11)
+        assert res.dry_gain.shape == (11,)
+        # opening the door must raise the dry gain end-to-end
+        assert res.dry_gain[-1] > res.dry_gain[0]
+        # smoothness: no step larger than half the total range
+        steps = np.abs(np.diff(res.dry_gain))
+        rng = res.dry_gain.max() - res.dry_gain.min()
+        assert steps.max() <= 0.5 * rng + 1e-6
+        buf = io.StringIO()
+        res.to_csv(buf)
+        assert buf.getvalue().startswith("door_pos,dry_gain,wet_gain")
