@@ -22,7 +22,8 @@ import numpy as np
 
 from planeverb_tpu.config import PlaneverbDSPConfig
 
-__all__ = ["NativeDSPContext", "load_library", "build_library"]
+__all__ = ["NativeDSPContext", "NativeReverb", "load_library",
+           "build_library"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "pv_dsp.cpp")
@@ -69,8 +70,48 @@ def load_library() -> ctypes.CDLL:
         + [pf32, ctypes.c_int, ctypes.c_int])
     lib.pvdsp_get_output.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(pf32)] * 4
+    lib.pvrev_init.restype = ctypes.c_void_p
+    lib.pvrev_init.argtypes = [f32, f32, ctypes.c_int]
+    lib.pvrev_exit.argtypes = [ctypes.c_void_p]
+    lib.pvrev_process_add.argtypes = [ctypes.c_void_p, pf32, pf32,
+                                      ctypes.c_int]
     _LIB = lib
     return lib
+
+
+class NativeReverb:
+    """Streaming Schroeder reverb (C++), one of the three canonical decays.
+
+    ``process_add(x, out)`` adds the reverberated ``x`` into ``out`` in
+    place — matching the mixer-line accumulation of the reference's Unity
+    graph (PlaneverbReverb.cs:92-101).
+    """
+
+    def __init__(self, rt60: float, sample_rate: int, channels: int = 2):
+        self._lib = load_library()
+        self.channels = channels
+        self._h = self._lib.pvrev_init(float(rt60), float(sample_rate),
+                                       channels)
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.pvrev_exit(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def process_add(self, x: np.ndarray, out: np.ndarray) -> None:
+        x = np.ascontiguousarray(x, np.float32)
+        assert out.dtype == np.float32 and out.flags.c_contiguous
+        assert x.shape == out.shape
+        frames = x.shape[0]
+        pf32 = ctypes.POINTER(ctypes.c_float)
+        self._lib.pvrev_process_add(self._h, x.ctypes.data_as(pf32),
+                                    out.ctypes.data_as(pf32), frames)
 
 
 class NativeDSPContext:

@@ -310,3 +310,102 @@ void pvdsp_get_output(void* h, const float** dry, const float** wet_a,
 int pvdsp_version() { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Schroeder reverberator — completes the reference's unshipped Reverb.h
+// design (4 parallel lowpass-comb at 29.7/37.1/41.1/43.7 ms + 2 series
+// allpass at 5.0/1.7 ms, Reverb.h:16-24); comb feedback derived from the
+// target RT60 (g = 10^(-3 D / rt60)). Math is identical to the JAX batch
+// implementation in planeverb_tpu/dsp/reverb.py (cross-checked in tests).
+
+namespace {
+
+constexpr float kCombDelaysS[4] = {0.0297f, 0.0371f, 0.0411f, 0.0437f};
+constexpr float kAllpassDelaysS[2] = {0.005f, 0.0017f};
+constexpr float kAllpassG = 0.5f;
+constexpr float kDamping = 0.2f;
+
+struct ReverbChannel {
+  std::vector<float> comb_buf[4];
+  float comb_lp[4] = {0, 0, 0, 0};
+  std::vector<float> ap_buf[2];
+};
+
+struct Reverb {
+  int comb_delay[4];
+  float comb_fb[4];
+  int ap_delay[2];
+  int lc;  // shared comb buffer length (max delay)
+  int la;
+  int64_t pos = 0;
+  std::vector<ReverbChannel> ch;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pvrev_init(float rt60, float sample_rate, int channels) {
+  auto* r = new Reverb();
+  r->lc = 1;
+  for (int k = 0; k < 4; ++k) {
+    r->comb_delay[k] = static_cast<int>(kCombDelaysS[k] * sample_rate);
+    if (r->comb_delay[k] < 1) r->comb_delay[k] = 1;
+    if (r->comb_delay[k] > r->lc) r->lc = r->comb_delay[k];
+    float d = static_cast<float>(r->comb_delay[k]) / sample_rate;
+    float rt = rt60 > 1e-3f ? rt60 : 1e-3f;
+    r->comb_fb[k] = std::pow(10.0f, -3.0f * d / rt);
+  }
+  r->la = 1;
+  for (int k = 0; k < 2; ++k) {
+    r->ap_delay[k] = static_cast<int>(kAllpassDelaysS[k] * sample_rate);
+    if (r->ap_delay[k] < 1) r->ap_delay[k] = 1;
+    if (r->ap_delay[k] > r->la) r->la = r->ap_delay[k];
+  }
+  r->ch.resize(channels);
+  for (auto& c : r->ch) {
+    for (int k = 0; k < 4; ++k) c.comb_buf[k].assign(r->lc, 0.0f);
+    for (int k = 0; k < 2; ++k) c.ap_buf[k].assign(r->la, 0.0f);
+  }
+  return r;
+}
+
+void pvrev_exit(void* h) { delete static_cast<Reverb*>(h); }
+
+// in/out: interleaved [frames][channels]; out is *added to* (mix-in).
+void pvrev_process_add(void* h, const float* in, float* out, int frames) {
+  auto* r = static_cast<Reverb*>(h);
+  const int nch = static_cast<int>(r->ch.size());
+  for (int i = 0; i < frames; ++i) {
+    const int64_t pos = r->pos + i;
+    const int wr_c = static_cast<int>(pos % r->lc);
+    const int wr_a = static_cast<int>(pos % r->la);
+    for (int c = 0; c < nch; ++c) {
+      auto& st = r->ch[c];
+      const float x = in[i * nch + c];
+      float comb_out = 0.0f;
+      for (int k = 0; k < 4; ++k) {
+        const int rd =
+            static_cast<int>(((pos - r->comb_delay[k]) % r->lc + r->lc) %
+                             r->lc);
+        const float y = st.comb_buf[k][rd];
+        st.comb_lp[k] = y * (1.0f - kDamping) + st.comb_lp[k] * kDamping;
+        st.comb_buf[k][wr_c] = x + st.comb_lp[k] * r->comb_fb[k];
+        comb_out += y;
+      }
+      float s = comb_out * 0.25f;
+      for (int k = 0; k < 2; ++k) {
+        const int rd =
+            static_cast<int>(((pos - r->ap_delay[k]) % r->la + r->la) %
+                             r->la);
+        const float buf_out = st.ap_buf[k][rd];
+        st.ap_buf[k][wr_a] = s + buf_out * kAllpassG;
+        s = buf_out - kAllpassG * s;
+      }
+      out[i * nch + c] += s;
+    }
+  }
+  r->pos += frames;
+}
+
+}  // extern "C"

@@ -154,8 +154,23 @@ def cmd_render(args) -> int:
     for name, bus in zip(names, buses):
         path = os.path.join(args.out_dir, f"{name}.wav")
         write_wav(path, bus, rate)
+    written = list(names)
+    if args.mix:
+        # final audible mix: dry + the three canonical reverbs applied to
+        # the wet buses (the reference delegates this to Unity's reverbs;
+        # here dsp/reverb.py completes the design in-engine)
+        mix = buses[0].copy()
+        if args.native:
+            from planeverb_tpu.native import NativeReverb
+            for rt60, bus in zip((0.5, 1.0, 3.0), buses[1:]):
+                NativeReverb(rt60, rate).process_add(bus, mix)
+        else:
+            from planeverb_tpu.dsp.reverb import mix_output
+            mix = np.asarray(mix_output(buses[0], *buses[1:], rate)[0])
+        write_wav(os.path.join(args.out_dir, "mix.wav"), mix, rate)
+        written.append("mix")
     print(f"rendered {n} frames into {args.out_dir}/ "
-          f"({', '.join(names)}; engine={'native' if args.native else 'python'})")
+          f"({', '.join(written)}; engine={'native' if args.native else 'python'})")
     return 0
 
 
@@ -225,6 +240,8 @@ def main(argv=None) -> int:
                    help="callback block size (frames)")
     p.add_argument("--native", action="store_true",
                    help="use the C++ renderer instead of the Python one")
+    p.add_argument("--mix", action="store_true",
+                   help="also write mix.wav = dry + reverbed wet buses")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("sweep", help="WetDryDoorPlot-style door sweep to CSV")
