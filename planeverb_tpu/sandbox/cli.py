@@ -174,6 +174,30 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_convolve(args) -> int:
+    """Auralize audio through the *actual simulated* impulse response."""
+    from planeverb_tpu.dsp.convolver import convolve_offline, resample_ir
+    from planeverb_tpu.sandbox.wav import read_wav, write_wav
+
+    sx, sz = _xy(args.source[0])  # fail fast, before the sim
+    ctx = _run_context(args)
+    ir = ctx.get_impulse_response(sx, sz)
+    if float(np.abs(ir).max()) == 0.0:
+        raise SystemExit("error: simulated IR is silent at that position")
+
+    audio, rate = read_wav(args.infile)
+    ir_up = resample_ir(ir, ctx.params.fs, rate)
+    peak_in = float(np.abs(audio).max()) or 1.0
+    y = convolve_offline(audio, ir_up)
+    if args.normalize:
+        peak = float(np.abs(y).max()) or 1.0
+        y = y * (peak_in / peak)
+    write_wav(args.output, y, rate)
+    print(f"convolved {len(audio)} frames with the {len(ir)}-sample "
+          f"simulated IR (fs {ctx.params.fs} -> {rate} Hz) -> {args.output}")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     from planeverb_tpu.sandbox.sweep import door_sweep
 
@@ -243,6 +267,16 @@ def main(argv=None) -> int:
     p.add_argument("--mix", action="store_true",
                    help="also write mix.wav = dry + reverbed wet buses")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("convolve",
+                       help="convolve a wav with the simulated IR")
+    common(p)
+    p.add_argument("--source", action="append", required=True)
+    p.add_argument("--in", dest="infile", required=True, help="input wav")
+    p.add_argument("-o", "--output", default="convolved.wav")
+    p.add_argument("--normalize", action="store_true", default=True,
+                   help="match output peak to input peak (default on)")
+    p.set_defaults(fn=cmd_convolve)
 
     p = sub.add_parser("sweep", help="WetDryDoorPlot-style door sweep to CSV")
     common(p, scene=False)
