@@ -221,6 +221,23 @@ def cmd_grid(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from planeverb_tpu.server import EngineServer
+
+    srv = EngineServer(args.host, args.port)
+    host, port = srv.address
+    print(f"planeverb engine server listening on {host}:{port} "
+          f"(newline-delimited JSON; send {{\"cmd\": \"init\", ...}} first)",
+          flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0
+
+
 def cmd_scenes(_args) -> int:
     for name, scene in DEMO_SCENES.items():
         print(f"{name:20s} {len(scene.boxes):3d} boxes")
@@ -287,6 +304,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("grid", help="ASCII dump of the voxelized grid")
     common(p)
     p.set_defaults(fn=cmd_grid)
+
+    p = sub.add_parser("serve", help="run the TCP JSON engine server "
+                                     "(game-engine binding layer)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8471)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")
     p.set_defaults(fn=cmd_scenes)

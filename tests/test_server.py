@@ -1,0 +1,94 @@
+"""Engine server protocol tests (binding-layer analog)."""
+
+import numpy as np
+import pytest
+
+from planeverb_tpu.server import EngineClient, EngineServer
+
+
+@pytest.fixture()
+def server():
+    srv = EngineServer(port=0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture()
+def client(server):
+    c = EngineClient(*server.address)
+    yield c
+    c.close()
+
+
+def test_full_session(client):
+    # init a 10 m grid, manual stepping
+    r = client.call("init", grid_size_x=10, grid_size_y=10,
+                    grid_resolution=275, background=False)
+    assert r["ok"] and r["fs"] > 0 and r["grid"][0] > 0
+
+    # build a room, place listener + emitter, step once
+    for wall in [(5.0, 2.5, 10.0, 1.0), (5.0, 7.5, 10.0, 1.0),
+                 (2.5, 5.0, 1.0, 10.0), (7.5, 5.0, 1.0, 10.0)]:
+        r = client.call("add_geometry", x=wall[0], y=wall[1],
+                        width=wall[2], height=wall[3], absorption=0.969536)
+        assert r["ok"]
+    client.call("set_listener_position", x=5.0, z=5.0)
+    r = client.call("emit", x=6.5, z=5.0)
+    eid = r["id"]
+    r = client.call("step")
+    assert r["ok"] and r["iteration"] == 1
+
+    out = client.call("get_output", id=eid)
+    assert out["ok"] and out["valid"]
+    assert out["occlusion"] > 0 and out["rt60"] > 0
+    assert abs(np.hypot(*out["direction"]) - 1.0) < 1e-4
+
+    # geometry update changes results
+    r = client.call("add_geometry", x=5.75, y=5.0, width=0.8, height=3.0,
+                    absorption=0.98)
+    blocker = r["id"]
+    client.call("step")
+    out2 = client.call("get_output", id=eid)
+    assert out2["occlusion"] != out["occlusion"]
+    client.call("remove_geometry", id=blocker)
+
+    ir = client.call("get_impulse_response", x=6.5, z=5.0)
+    assert ir["ok"] and len(ir["ir"]) > 100
+
+    prof = client.call("profile")
+    assert prof["ok"] and "simulate" in prof["stages"]
+
+    r = client.call("end_emission", id=eid)
+    assert r["ok"]
+    assert client.call("exit")["ok"]
+
+
+def test_errors_do_not_kill_connection(client):
+    r = client.call("get_output", id=0)       # before init
+    assert not r["ok"] and "init" in r["error"]
+    r = client.call("frobnicate")
+    assert not r["ok"] and "unknown cmd" in r["error"]
+    r = client.call("init", grid_size_x=6, grid_size_y=6,
+                    grid_resolution=275, background=False)
+    assert r["ok"]
+    r = client.call("emit")                   # missing args
+    assert not r["ok"] and "KeyError" in r["error"]
+    # connection still usable
+    assert client.call("exit")["ok"]
+
+
+def test_two_clients_share_engine(server):
+    a = EngineClient(*server.address)
+    b = EngineClient(*server.address)
+    try:
+        a.call("init", grid_size_x=6, grid_size_y=6, grid_resolution=275,
+               background=False)
+        r = b.call("emit", x=3.0, z=3.0)
+        assert r["ok"]
+        a.call("step")
+        out = b.call("get_output", id=r["id"])
+        assert out["ok"]
+    finally:
+        a.close()
+        b.close()
