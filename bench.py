@@ -73,16 +73,13 @@ def main() -> None:
     T = params.response_length
     cell_updates = cells * T
 
-    # --- device: fused Pallas sim + analyze (one full pipeline pass)
-    from planeverb_tpu.ops.fdtd_pallas import simulate_auto
+    # --- device: fused Pallas sim + in-kernel analyzer moments
+    from planeverb_tpu.ops.fdtd_pallas import pipeline_auto, simulate_auto
 
     def full_pass(eps):
-        res = simulate_auto(params, beta, refl, pulse * (1.0 + eps),
-                            lix, liy)
-        out = analyzer.analyze(params, res.pressure, res.onset,
-                               res.flux_x, res.flux_y,
-                               jnp.float32(1.0), jnp.float32(12.5),
-                               jnp.float32(12.5))
+        _, out = pipeline_auto(params, beta, refl, pulse * (1.0 + eps),
+                               lix, liy, jnp.float32(1.0),
+                               jnp.float32(12.5), jnp.float32(12.5))
         return out.occlusion[5, 5] + out.rt60[5, 5]
 
     float(np.asarray(full_pass(0.0)))  # compile + warm

@@ -28,8 +28,8 @@ from planeverb_tpu.config import (GridParams, PlaneverbConfig,
 from planeverb_tpu.core.emissions import EmissionRegistry
 from planeverb_tpu.core.free_grid import calibrate_free_field
 from planeverb_tpu.core.geometry import GeometryRegistry
-from planeverb_tpu.ops import analyzer, voxelize
-from planeverb_tpu.ops.fdtd_pallas import simulate_auto
+from planeverb_tpu.ops import voxelize
+from planeverb_tpu.ops.fdtd_pallas import pipeline_auto
 from planeverb_tpu.scene import Scene
 from planeverb_tpu.types import PlaneverbOutput, invalid_output, vec2
 from planeverb_tpu.utils.profiling import StageTimer
@@ -124,13 +124,9 @@ class Context:
         self._sync_fields()
 
         cix, ciy = self.params.world_to_cell(lx, lz)
-        with self.timer.stage("simulate"):
-            res = simulate_auto(self.params, self._beta, self._refl,
-                                self._pulse, cix, ciy)
-            res.pressure.block_until_ready()
-        with self.timer.stage("analyze"):
-            out = analyzer.analyze(
-                self.params, res.pressure, res.onset, res.flux_x, res.flux_y,
+        with self.timer.stage("simulate+analyze"):
+            res, out = pipeline_auto(
+                self.params, self._beta, self._refl, self._pulse, cix, ciy,
                 np.float32(self.efree), np.float32(lx), np.float32(lz))
         with self.timer.stage("publish"):
             published = {
@@ -200,4 +196,10 @@ class Context:
 
     # --------------------------------------------------------------- admin
     def profile_summary(self) -> dict:
-        return self.timer.stats.summary()
+        summary = self.timer.stats.summary()
+        pipe = summary.get("simulate+analyze")
+        if pipe:
+            from planeverb_tpu.utils.profiling import throughput
+
+            summary["throughput"] = throughput(self.params, pipe["mean_s"])
+        return summary

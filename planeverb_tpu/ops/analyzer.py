@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from planeverb_tpu.config import GridParams
 from planeverb_tpu.ops.doa import encode_directions
 
-__all__ = ["AnalyzerResults", "analyze", "free_field_normalizer"]
+__all__ = ["AnalyzerResults", "Moments", "analyze", "analyze_moments",
+           "moments_from_pressure", "free_field_normalizer"]
 
 
 class AnalyzerResults(NamedTuple):
@@ -68,55 +69,116 @@ def free_field_normalizer(params: GridParams, listener_ix, listener_iy):
     return jnp.where(at_listener, 1.0, 1.0 / jnp.where(at_listener, 1.0, r))
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def analyze(params: GridParams, pressure, onset, flux_x, flux_y,
-            efree, listener_x, listener_y) -> AnalyzerResults:
-    """Encode per-cell acoustic parameters from one simulation pass.
+class Moments(NamedTuple):
+    """Sufficient statistics of one recording for parameter assembly.
 
-    Args:
-      params: static grid parameters.
-      pressure: [T, nx, ny] recorded pressure (solver output).
-      onset: [nx, ny] onset sample per cell (f32, +inf when none).
-      flux_x, flux_y: [nx, ny] in-scan directivity flux sums.
-      efree: scalar free-field energy at 1 m (calibration).
-      listener_x, listener_y: listener world position (traced f32 scalars,
-        grid offset NOT yet applied — applied here as in Analyzer.cpp:60-62).
+    All [*, *] per-cell grids (possibly tile-padded; assembly crops):
+      e_dry:   energy over [0, onset + dry_n)
+      e_wet:   energy over [onset + dry_n + 1, + wet_n)
+      e_total: total recorded energy (EDC[0])
+      s0:      sum of y_db over the RT60 regression window
+      s1:      sum of (t - start) * y_db over the window, start the per-cell
+               window origin (onset + dry_n + 1; final by the time the
+               window opens, so streaming accumulation is exact and avoids
+               the catastrophic cancellation of absolute-t moments)
+    where y_db[t] = 10 log10(max(EDC[t], 1e-37)).
+
+    These are exactly the reductions the reference's per-cell scans compute
+    (Analyzer.cpp:181-196, 234-247, 250-327); computing them *streaming*
+    (during the sim, or in one pass over the recording) is exact because
+    every window condition at time t depends only on whether onset <= t —
+    and when it doesn't hold yet, the condition's truth value already equals
+    its final value (onset >= t implies t < onset + dry_n, etc.).
+    """
+
+    e_dry: jax.Array
+    e_wet: jax.Array
+    e_total: jax.Array
+    s0: jax.Array
+    s1: jax.Array
+
+
+def moments_from_pressure(params: GridParams, pressure, onset) -> Moments:
+    """jnp reference computation of :class:`Moments` from a full recording.
+
+    Used on non-TPU paths; the Pallas pipeline computes the same moments
+    in-kernel (ops/fdtd_pallas.py) without re-reading the recording.
+    """
+    gx, gy = params.grid_x, params.grid_y
+    T = params.response_length
+    dry_n = params.dry_gain_samples
+    wet_n = params.wet_gain_samples
+    schro_off = params.schroeder_offset_samples
+
+    p = pressure[:T, :gx, :gy]
+    onset = onset[:gx, :gy]
+
+    sq = p * p
+    t_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (T, 1, 1), 0).astype(jnp.float32)
+    # inf onset (never crossed) keeps the dry window open and the wet/
+    # regression windows closed — matching the in-kernel streaming form;
+    # all moments of never-found cells are don't-care (masked by ``found``
+    # in assembly).
+    direct_end = onset + jnp.float32(dry_n)
+
+    e_dry = jnp.sum(sq * (t_idx < direct_end), axis=0)
+    wet_start = direct_end + 1.0
+    wet_mask = (t_idx >= wet_start) & (t_idx < wet_start + jnp.float32(wet_n))
+    e_wet = jnp.sum(sq * wet_mask, axis=0)
+    e_total = jnp.sum(sq, axis=0)
+
+    # EDC[t] = sum_{j>=t} sq[j] via *backward* accumulation. The forward
+    # alternative (e_total - prefix[t]) catastrophically cancels in the
+    # decay tail where EDC is hundreds of dB below e_total; the suffix sum
+    # keeps full relative precision there (and matches the reference's
+    # backward Schroeder integration order, Analyzer.cpp:250-327).
+    edc = jnp.cumsum(sq[::-1], axis=0)[::-1]
+    y_db = 10.0 * jnp.log10(jnp.maximum(edc, jnp.float32(1e-37)))
+    start = direct_end + 1.0
+    end = jnp.float32(T - schro_off)
+    reg_mask = (t_idx >= start) & (t_idx < end)
+    s0 = jnp.sum(jnp.where(reg_mask, y_db, 0.0), axis=0)
+    s1 = jnp.sum(jnp.where(reg_mask, y_db * (t_idx - start), 0.0), axis=0)
+    return Moments(e_dry=e_dry, e_wet=e_wet, e_total=e_total, s0=s0, s1=s1)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def analyze_moments(params: GridParams, moments: Moments, onset,
+                    flux_x, flux_y, efree,
+                    listener_x, listener_y) -> AnalyzerResults:
+    """Assemble per-cell acoustic parameters from precomputed moments.
+
+    Pure elementwise math on [gx, gy] grids plus the DOA pass — no [T, ...]
+    traffic. Semantics per Analyzer.cpp:139-328 (see :func:`analyze`).
     """
     gx, gy = params.grid_x, params.grid_y
     T = params.response_length
     fs = jnp.float32(params.fs)
     dry_n = params.dry_gain_samples
-    wet_n = params.wet_gain_samples
     schro_off = params.schroeder_offset_samples
 
     lwx = listener_x + jnp.float32(params.grid_offset_x)
     lwy = listener_y + jnp.float32(params.grid_offset_y)
 
-    # analysis grid = [0:gx, 0:gy] corner of the solver grid (Analyzer.cpp:74-84)
-    p = pressure[:, :gx, :gy]
     onset = onset[:gx, :gy]
     fx = flux_x[:gx, :gy]
     fy = flux_y[:gx, :gy]
+    e_dry = moments.e_dry[:gx, :gy]
+    e_wet = moments.e_wet[:gx, :gy]
+    s0 = moments.s0[:gx, :gy]
+    s1 = moments.s1[:gx, :gy]
 
     found = jnp.isfinite(onset)
-    onset_c = jnp.where(found, onset, 0.0)  # safe onset for window arithmetic
-
-    sq = p * p
-    t_idx = jax.lax.broadcasted_iota(
-        jnp.int32, (T, 1, 1), 0).astype(jnp.float32)
-
+    onset_c = jnp.where(found, onset, 0.0)
     direct_end = onset_c + jnp.float32(dry_n)
-
-    # -- dry energy over [0, onset + dry_n)  (Analyzer.cpp:181-196)
-    e_dry = jnp.sum(sq * (t_idx < direct_end), axis=0)
 
     # -- obstruction = sqrt(Edry / (EFree/r))  (Analyzer.cpp:199-219)
     inv_dx = jnp.float32(1.0) / jnp.float32(params.dx)
     lix = (lwx * inv_dx).astype(jnp.int32)
     liy = (lwy * inv_dx).astype(jnp.int32)
     inv_r = free_field_normalizer(params, lix, liy)
-    efree_per_r = efree * inv_r
-    occlusion = jnp.sqrt(e_dry / efree_per_r)
+    occlusion = jnp.sqrt(e_dry / (efree * inv_r))
     occlusion = jnp.where(found, occlusion, 0.0)
 
     # -- source directivity = -flux/|flux|  (Analyzer.cpp:222-228)
@@ -130,27 +192,20 @@ def analyze(params: GridParams, pressure, onset, flux_x, flux_y,
     lowpass = -147.0 + 18390.0 / (1.0 + jnp.power(r_occ / 12.0, 0.8))
     lowpass = jnp.where(found, lowpass, 0.0)
 
-    # -- wet gain over (direct_end, direct_end + wet_n]  (Analyzer.cpp:234-247)
-    wet_start = direct_end + 1.0
-    wet_mask = (t_idx >= wet_start) & (t_idx < wet_start + jnp.float32(wet_n))
-    e_wet = jnp.sum(sq * wet_mask, axis=0)
+    # -- wet gain  (Analyzer.cpp:234-247)
     wet_gain = jnp.where(found, jnp.sqrt(e_wet / efree), 0.0)
 
-    # -- RT60: backward Schroeder + closed-form linear regression
-    #    (Analyzer.cpp:250-327). EDC[t] = sum_{j>=t} p[j]^2 via reverse cumsum.
-    edc = jnp.cumsum(sq[::-1], axis=0)[::-1]
-    y_db = 10.0 * jnp.log10(jnp.maximum(edc, jnp.float32(1e-37)))
-
-    start = direct_end + 1.0                      # first regression sample
-    end = jnp.float32(T - schro_off)              # one past last
-    reg_mask = (t_idx >= start) & (t_idx < end)
-    x_val = t_idx - start
+    # -- RT60 closed-form regression from the y_db moments
+    #    (Analyzer.cpp:250-327); s1 is already accumulated against
+    #    x_val = t - start.
+    start = direct_end + 1.0
+    end = jnp.float32(T - schro_off)
     rn = end - start
     xmean = (rn - 1.0) * 0.5
     xsum = rn * xmean
     denom = (1.0 / 12.0) * rn * (rn * rn - 1.0)
-    ysum = jnp.sum(jnp.where(reg_mask, y_db, 0.0), axis=0)
-    xysum = jnp.sum(jnp.where(reg_mask, y_db * x_val, 0.0), axis=0)
+    ysum = s0
+    xysum = s1
     ymean = ysum / rn
     numerator = xysum - ymean * xsum - xmean * ysum + rn * xmean * ymean
     slope_db_per_sec = numerator / denom * fs
@@ -165,3 +220,22 @@ def analyze(params: GridParams, pressure, onset, flux_x, flux_y,
     return AnalyzerResults(
         occlusion=occlusion, wet_gain=wet_gain, rt60=rt60, lowpass=lowpass,
         direction=direction, source_directivity=sdir, delay_samples=delay)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def analyze(params: GridParams, pressure, onset, flux_x, flux_y,
+            efree, listener_x, listener_y) -> AnalyzerResults:
+    """Encode per-cell acoustic parameters from one simulation pass.
+
+    Args:
+      params: static grid parameters.
+      pressure: [T, nx, ny] recorded pressure (solver output).
+      onset: [nx, ny] onset sample per cell (f32, +inf when none).
+      flux_x, flux_y: [nx, ny] in-scan directivity flux sums.
+      efree: scalar free-field energy at 1 m (calibration).
+      listener_x, listener_y: listener world position (traced f32 scalars,
+        grid offset NOT yet applied — applied here as in Analyzer.cpp:60-62).
+    """
+    moments = moments_from_pressure(params, pressure, onset)
+    return analyze_moments(params, moments, onset, flux_x, flux_y,
+                           efree, listener_x, listener_y)

@@ -1,0 +1,67 @@
+"""Batched simulation: many listeners / scenes in one device call.
+
+The reference is strictly one listener, one scene, one background thread
+(PvContext.cpp:63-94). Acoustic reciprocity already makes *sources* free
+(one sim yields every source cell's IR — FDTD.cpp:233-234); this module adds
+the remaining data-parallel axes the TPU makes cheap:
+
+  - **listeners**: split-screen / multiplayer — one sim per listener,
+    vmapped so XLA batches the stencil across the leading axis.
+  - **scenes**: level precomputation / dataset generation — batched
+    (beta, reflection) field sets.
+
+Memory scales as B x [T, nx, ny] f32 for the recordings; size batches
+accordingly (e.g. 25m@275Hz ~= 9 MB per listener).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from planeverb_tpu.config import GridParams
+from planeverb_tpu.ops import analyzer, fdtd
+
+__all__ = ["simulate_listeners", "analyze_listeners", "simulate_scenes"]
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def simulate_listeners(params: GridParams, beta, refl, pulse,
+                       listener_ix, listener_iy) -> fdtd.FdtdResult:
+    """One sim per listener cell, batched.
+
+    Args:
+      beta, refl: [nx, ny] shared fields.
+      listener_ix, listener_iy: [B] int32 listener cells.
+    Returns FdtdResult with a leading [B] axis on every field.
+    """
+    sim = lambda ix, iy: fdtd.simulate(params, beta, refl, pulse, ix, iy)
+    return jax.vmap(sim)(listener_ix, listener_iy)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def analyze_listeners(params: GridParams, batched_result: fdtd.FdtdResult,
+                      efree, listener_x, listener_y) -> analyzer.AnalyzerResults:
+    """Batched analysis of :func:`simulate_listeners` output.
+
+    listener_x, listener_y: [B] world positions (offset not yet applied).
+    Returns AnalyzerResults with a leading [B] axis.
+    """
+    def one(pr, onset, fx, fy, lx, ly):
+        return analyzer.analyze(params, pr, onset, fx, fy, efree, lx, ly)
+
+    return jax.vmap(one)(batched_result.pressure, batched_result.onset,
+                         batched_result.flux_x, batched_result.flux_y,
+                         listener_x, listener_y)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def simulate_scenes(params: GridParams, beta, refl, pulse,
+                    listener_ix, listener_iy) -> fdtd.FdtdResult:
+    """One sim per scene, batched: beta/refl have a leading [S] axis and a
+    single shared listener cell (broadcast scalars)."""
+    sim = lambda b, r: fdtd.simulate(params, b, r, pulse,
+                                     listener_ix, listener_iy)
+    return jax.vmap(sim)(beta, refl)

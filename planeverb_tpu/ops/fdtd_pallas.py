@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,7 +40,8 @@ from planeverb_tpu.config import BoundaryType, GridParams
 from planeverb_tpu.ops.fdtd import FdtdResult, admittance
 from planeverb_tpu.ops import fdtd as fdtd_scan
 
-__all__ = ["simulate_pallas", "simulate_auto", "pad_tile"]
+__all__ = ["simulate_pallas", "simulate_moments_pallas", "simulate_auto",
+           "pipeline_auto", "pad_tile"]
 
 _SUBLANE = 8
 _LANE = 128
@@ -51,9 +53,10 @@ def pad_tile(n: int, m: int) -> int:
 
 def _kernel(scal_ref, beta_ref, y_ref, bxm_ref, yxm_ref, bym_ref, yym_ref,
             pulse_ref, rec_ref, onset_ref, fx_ref, fy_ref,
+            ed_ref, ew_ref, et_ref,
             p_ref, vx_ref, vy_ref,
             *, courant, thr, src_dir_n, gx, gy, absorbing, npx, npy,
-            chunk, t_real):
+            chunk, t_real, dry_n, wet_n):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -65,6 +68,9 @@ def _kernel(scal_ref, beta_ref, y_ref, bxm_ref, yxm_ref, bym_ref, yym_ref,
         onset_ref[:] = jnp.full((npx, npy), jnp.inf, jnp.float32)
         fx_ref[:] = zeros
         fy_ref[:] = zeros
+        ed_ref[:] = zeros
+        ew_ref[:] = zeros
+        et_ref[:] = zeros
 
     beta = beta_ref[:]
     Y = y_ref[:]
@@ -81,7 +87,7 @@ def _kernel(scal_ref, beta_ref, y_ref, bxm_ref, yxm_ref, bym_ref, yym_ref,
     zcol = jnp.zeros((npx, 1), jnp.float32)
 
     def one_step(k, carry):
-        p, vx, vy, onset, fx, fy = carry
+        p, vx, vy, onset, fx, fy, ed, ew, et = carry
         t = c * chunk + k
 
         # -- pressure: p = beta * (p - C * div v)     (FDTD.cpp:124-141)
@@ -124,34 +130,94 @@ def _kernel(scal_ref, beta_ref, y_ref, bxm_ref, yxm_ref, bym_ref, yym_ref,
         fx = fx + m * p * vx
         fy = fy + m * p * vy
 
+        # -- streaming windowed energies (analyzer moments; the window
+        # predicates are exact with the *running* onset, see
+        # ops/analyzer.py::Moments)
+        sq = p * p
+        direct_end = onset + float(dry_n)
+        wet_start = direct_end + 1.0
+        ed = ed + sq * ((tf < direct_end) & live).astype(jnp.float32)
+        ew = ew + sq * ((tf >= wet_start) & (tf < wet_start + float(wet_n))
+                        & live).astype(jnp.float32)
+        et = et + sq * live.astype(jnp.float32)
+
         # -- record (pre-injection), then inject at the listener cell
         rec_ref[k] = p
         p = p + src * pulse_ref[t, 0]
-        return p, vx, vy, onset, fx, fy
+        return p, vx, vy, onset, fx, fy, ed, ew, et
 
     carry = (p_ref[:], vx_ref[:], vy_ref[:],
-             onset_ref[:], fx_ref[:], fy_ref[:])
-    p, vx, vy, onset, fx, fy = jax.lax.fori_loop(0, chunk, one_step, carry)
+             onset_ref[:], fx_ref[:], fy_ref[:],
+             ed_ref[:], ew_ref[:], et_ref[:])
+    (p, vx, vy, onset, fx, fy, ed, ew, et) = jax.lax.fori_loop(
+        0, chunk, one_step, carry)
     p_ref[:] = p
     vx_ref[:] = vx
     vy_ref[:] = vy
     onset_ref[:] = onset
     fx_ref[:] = fx
     fy_ref[:] = fy
+    ed_ref[:] = ed
+    ew_ref[:] = ew
+    et_ref[:] = et
+
+
+def _moments_kernel(onset_ref, pres_ref, s0_ref, s1_ref,
+                    edc_ref,
+                    *, chunk, t_real, dry_n, schro_off, npx, npy, n_chunks):
+    """Backward pass over the recording: suffix EDC + RT60 regression moments.
+
+    The grid iterates time chunks in REVERSE (via the pressure index map),
+    and samples within each chunk run newest-to-oldest, reproducing the
+    reference's backward Schroeder integration order (Analyzer.cpp:250-327)
+    — the numerically stable direction (see ops/analyzer.py note).
+    """
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _init():
+        zeros = jnp.zeros((npx, npy), jnp.float32)
+        s0_ref[:] = zeros
+        s1_ref[:] = zeros
+        edc_ref[:] = zeros
+
+    onset = onset_ref[:]
+    start = onset + float(dry_n + 1)
+    end = float(t_real - schro_off)
+    log10_scale = float(10.0 / np.log(10.0))
+
+    def body(k, carry):
+        edc, s0, s1 = carry
+        kk = chunk - 1 - k                       # reverse within the chunk
+        t = (n_chunks - 1 - c) * chunk + kk
+        tf = t.astype(jnp.float32)
+        p = pres_ref[kk]
+        live = (tf < float(t_real)).astype(jnp.float32)
+        edc = edc + p * p * live                 # suffix sum incl. current
+        y = jnp.log(jnp.maximum(edc, 1e-37)) * log10_scale
+        m = ((tf >= start) & (tf < end)).astype(jnp.float32)
+        s0 = s0 + m * y
+        s1 = s1 + m * (tf - start) * y
+        return edc, s0, s1
+
+    edc, s0, s1 = jax.lax.fori_loop(
+        0, chunk, body, (edc_ref[:], s0_ref[:], s1_ref[:]))
+    edc_ref[:] = edc
+    s0_ref[:] = s0
+    s1_ref[:] = s1
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk"))
-def simulate_pallas(params: GridParams, beta, refl, pulse,
-                    listener_ix, listener_iy,
-                    interpret: bool = False, chunk: int = 16) -> FdtdResult:
-    """Run one full simulation pass in a single fused kernel.
+def _simulate_impl(params: GridParams, beta, refl, pulse,
+                   listener_ix, listener_iy,
+                   interpret: bool = False, chunk: int = 16):
+    """One simulation pass in a single fused kernel.
 
-    Args/returns match ops/fdtd.py::simulate, except the returned grids are
-    tile-padded to [npx, npy] >= [nx, ny] and [T] to the chunk multiple; the
-    analyzer only reads the [:T, :grid_x, :grid_y] corner, so no crop is
-    needed. ``chunk`` timesteps run per grid iteration so the recording is
-    flushed to HBM in chunk-sized slabs (amortizing per-iteration DMA cost);
-    simulation results are chunk-invariant.
+    Returns (FdtdResult, (rec_padded, e_dry, e_wet, e_total)). Result grids
+    are tile-padded to [npx, npy] >= [nx, ny]; the analyzer only reads the
+    [:grid_x, :grid_y] corner, so no crop is needed. ``chunk`` timesteps run
+    per grid iteration so the recording is flushed to HBM in chunk-sized
+    slabs (amortizing per-iteration DMA cost); results are chunk-invariant.
     """
     nx, ny = params.nx, params.ny
     npx = pad_tile(nx, _SUBLANE)
@@ -183,12 +249,14 @@ def simulate_pallas(params: GridParams, beta, refl, pulse,
         src_dir_n=float(params.source_dir_samples),
         gx=params.grid_x, gy=params.grid_y,
         absorbing=params.boundary_type == BoundaryType.ABSORBING,
-        npx=npx, npy=npy, chunk=chunk, t_real=T)
+        npx=npx, npy=npy, chunk=chunk, t_real=T,
+        dry_n=params.dry_gain_samples, wet_n=params.wet_gain_samples)
 
     field = pl.BlockSpec((npx, npy), lambda c: (0, 0),
                          memory_space=pltpu.VMEM)
+    cell = jax.ShapeDtypeStruct((npx, npy), jnp.float32)
 
-    rec, onset, fx, fy = pl.pallas_call(
+    rec, onset, fx, fy, ed, ew, et = pl.pallas_call(
         kernel,
         grid=(T_pad // chunk,),
         in_specs=[
@@ -200,13 +268,11 @@ def simulate_pallas(params: GridParams, beta, refl, pulse,
         out_specs=[
             pl.BlockSpec((chunk, npx, npy), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            field, field, field,
+            field, field, field, field, field, field,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T_pad, npx, npy), jnp.float32),
-            jax.ShapeDtypeStruct((npx, npy), jnp.float32),
-            jax.ShapeDtypeStruct((npx, npy), jnp.float32),
-            jax.ShapeDtypeStruct((npx, npy), jnp.float32),
+            cell, cell, cell, cell, cell, cell,
         ],
         scratch_shapes=[
             pltpu.VMEM((npx, npy), jnp.float32),
@@ -214,7 +280,7 @@ def simulate_pallas(params: GridParams, beta, refl, pulse,
             pltpu.VMEM((npx, npy), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=T * npx * npy * 30,
+            flops=T * npx * npy * 40,
             bytes_accessed=T * npx * npy * 4,
             transcendentals=0,
         ),
@@ -223,14 +289,122 @@ def simulate_pallas(params: GridParams, beta, refl, pulse,
 
     # crop the T padding (rows past T hold harmless continued simulation,
     # but the analyzer's windows assume exactly response_length rows)
-    return FdtdResult(pressure=rec[:T], onset=onset, flux_x=fx, flux_y=fy)
+    res = FdtdResult(pressure=rec[:T], onset=onset, flux_x=fx, flux_y=fy)
+    return res, (rec, ed, ew, et)
+
+
+def simulate_pallas(params: GridParams, beta, refl, pulse,
+                    listener_ix, listener_iy,
+                    interpret: bool = False, chunk: int = 16) -> FdtdResult:
+    """Run one full simulation pass in a single fused kernel (see
+    :func:`_simulate_impl` for shapes)."""
+    res, _ = _simulate_impl(params, beta, refl, pulse, listener_ix,
+                            listener_iy, interpret=interpret, chunk=chunk)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk"))
+def simulate_moments_pallas(params: GridParams, beta, refl, pulse,
+                            listener_ix, listener_iy,
+                            interpret: bool = False, chunk: int = 16):
+    """Sim + analyzer moments entirely in Pallas.
+
+    Returns (FdtdResult, analyzer.Moments): the windowed energies stream
+    inside the sim kernel; the RT60 regression moments come from one
+    backward pass over the recording (the only re-read of it).
+    """
+    from planeverb_tpu.ops.analyzer import Moments
+
+    res, (rec_padded, ed, ew, et) = _simulate_impl(
+        params, beta, refl, pulse, listener_ix, listener_iy,
+        interpret=interpret, chunk=chunk)
+    npx, npy = ed.shape
+    T = params.response_length
+    T_pad = rec_padded.shape[0]
+    n_chunks = T_pad // chunk
+
+    kernel = functools.partial(
+        _moments_kernel,
+        chunk=chunk, t_real=T, dry_n=params.dry_gain_samples,
+        schro_off=params.schroeder_offset_samples,
+        npx=npx, npy=npy, n_chunks=n_chunks)
+
+    field = pl.BlockSpec((npx, npy), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM)
+    cell = jax.ShapeDtypeStruct((npx, npy), jnp.float32)
+    s0, s1 = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            field,
+            pl.BlockSpec((chunk, npx, npy),
+                         lambda c: (n_chunks - 1 - c, 0, 0),  # reverse time
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[field, field],
+        out_shape=[cell, cell],
+        scratch_shapes=[pltpu.VMEM((npx, npy), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=T * npx * npy * 8,
+            bytes_accessed=T * npx * npy * 4,
+            transcendentals=T * npx * npy,
+        ),
+        interpret=interpret,
+    )(res.onset, rec_padded)
+
+    return res, Moments(e_dry=ed, e_wet=ew, e_total=et, s0=s0, s1=s1)
+
+
+_VMEM_BUDGET_BYTES = 12 << 20  # leave headroom below the ~16 MB/core VMEM
+
+
+def _kernel_vmem_bytes(params: GridParams, chunk: int = 16) -> int:
+    """Estimated VMEM footprint of the fused kernel: 7 field inputs + 3
+    scratch + 6 cell outputs resident, plus a double-buffered chunk-sized
+    recording block."""
+    npx = pad_tile(params.nx, _SUBLANE)
+    npy = pad_tile(params.ny, _LANE)
+    cell = npx * npy * 4
+    return cell * (7 + 3 + 6) + 2 * chunk * cell
+
+
+def fits_vmem(params: GridParams, chunk: int = 16) -> bool:
+    return _kernel_vmem_bytes(params, chunk) <= _VMEM_BUDGET_BYTES
 
 
 def simulate_auto(params: GridParams, beta, refl, pulse,
                   listener_ix, listener_iy) -> FdtdResult:
-    """Pallas kernel on TPU, lax.scan elsewhere (CPU tests, oracle parity)."""
-    if jax.devices()[0].platform == "tpu":
+    """Pallas kernel on TPU (when the grid fits VMEM), lax.scan elsewhere.
+
+    Grids too large for the VMEM-resident kernel (> ~600k cells) fall back
+    to the scan solver; at that scale the right tool is the sharded solver
+    (parallel/solver.py) across chips.
+    """
+    if jax.devices()[0].platform == "tpu" and fits_vmem(params):
         return simulate_pallas(params, beta, refl, pulse,
                                listener_ix, listener_iy)
     return fdtd_scan.simulate(params, beta, refl, pulse,
                               listener_ix, listener_iy)
+
+
+def pipeline_auto(params: GridParams, beta, refl, pulse,
+                  listener_ix, listener_iy, efree, listener_x, listener_z):
+    """Full pass: sim + analysis, fastest available path per platform.
+
+    Returns (FdtdResult, AnalyzerResults). On TPU the analyzer moments are
+    computed in-kernel (no [T, ...] reductions outside Pallas); elsewhere
+    the lax.scan solver + jnp moments produce identical semantics.
+    """
+    from planeverb_tpu.ops import analyzer
+
+    if jax.devices()[0].platform == "tpu" and fits_vmem(params):
+        res, moments = simulate_moments_pallas(
+            params, beta, refl, pulse, listener_ix, listener_iy)
+    else:
+        res = fdtd_scan.simulate(params, beta, refl, pulse,
+                                 listener_ix, listener_iy)
+        moments = analyzer.moments_from_pressure(params, res.pressure,
+                                                 res.onset)
+    out = analyzer.analyze_moments(params, moments, res.onset, res.flux_x,
+                                   res.flux_y, efree, listener_x, listener_z)
+    return res, out

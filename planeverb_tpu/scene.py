@@ -15,8 +15,8 @@ import dataclasses
 import io
 from typing import Iterable
 
-__all__ = ["AABB", "Scene", "load_pv", "loads_pv", "save_pv", "DEMO_SCENES",
-           "demo_scene"]
+__all__ = ["AABB", "AABB3D", "Scene", "load_pv", "loads_pv", "save_pv",
+           "DEMO_SCENES", "demo_scene", "project_to_slice"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,6 +28,44 @@ class AABB:
     width: float
     height: float
     absorption: float  # reflection coefficient R = sqrt(1 - energy absorption)
+
+
+@dataclasses.dataclass(frozen=True)
+class AABB3D:
+    """A world-space 3D box (game-engine collider bounds).
+
+    The simulation is a horizontal 2D slice; 3D geometry enters it via
+    :func:`project_to_slice`. Center (x, y, z) with y up; full extents.
+    """
+
+    x: float
+    y: float
+    z: float
+    width: float    # x extent
+    height: float   # y extent (vertical)
+    depth: float    # z extent
+    absorption: float = 0.989949494
+
+
+def project_to_slice(boxes, listener_y: float,
+                     head_slice: float = 0.5) -> Scene:
+    """Head-slice culling: 3D boxes -> the 2D scene at the listener's ears.
+
+    A box enters the simulation only if its vertical extent spans the
+    listener's head slice [listener_y - head_slice, listener_y + head_slice]
+    — the reference's PlaneverbObject.IsWithinPlayerHeadSlice behavior
+    (UnityDemo PlaneverbObject.cs:194-200); surviving boxes project to 2D
+    AABBs on the (x, z) plane.
+    """
+    lo = listener_y - head_slice
+    hi = listener_y + head_slice
+    out = []
+    for b in boxes:
+        top = b.y + b.height * 0.5
+        bottom = b.y - b.height * 0.5
+        if bottom <= hi and top >= lo:
+            out.append(AABB(b.x, b.z, b.width, b.depth, b.absorption))
+    return Scene(boxes=out, name="head-slice")
 
 
 @dataclasses.dataclass

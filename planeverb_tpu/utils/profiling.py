@@ -12,7 +12,7 @@ from __future__ import annotations
 import contextlib
 import time
 
-__all__ = ["StageTimer", "Stats"]
+__all__ = ["StageTimer", "Stats", "throughput", "device_trace"]
 
 
 class Stats:
@@ -48,3 +48,30 @@ class StageTimer:
             yield
         finally:
             self.stats.record(name, time.perf_counter() - t0)
+
+
+def throughput(params, seconds: float) -> dict:
+    """Roofline accounting for one sim pass (BASELINE.md metrics)."""
+    cells = params.nx * params.ny
+    updates = cells * params.response_length
+    rec_bytes = updates * 4  # f32 pressure recording
+    return {
+        "cell_updates": updates,
+        "cell_updates_per_s": updates / seconds if seconds > 0 else 0.0,
+        "recording_bytes": rec_bytes,
+        "recording_gb_per_s": rec_bytes / seconds / 1e9 if seconds > 0 else 0.0,
+    }
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler device trace around a block (inspect with
+    TensorBoard / xprof). The TPU analog of the reference's PROFILE_SECTION
+    macros."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -76,7 +76,7 @@ def test_background_thread():
     assert ctx.iteration >= 2
     assert ctx.result_at(6.0, 5.0).valid
     prof = ctx.profile_summary()
-    assert "simulate" in prof and "analyze" in prof
+    assert "simulate+analyze" in prof
 
 
 def test_api_facade():

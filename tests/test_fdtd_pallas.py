@@ -63,6 +63,40 @@ def test_reflecting_boundary():
         np.asarray(res.pressure)[:, :p.nx, :p.ny], np.asarray(ref.pressure))
 
 
+def test_moments_parity_vs_jnp():
+    from planeverb_tpu.ops import analyzer
+
+    p = compute_grid_params(CFG)
+    p = dataclasses.replace(p, response_length=70)
+    beta, refl = voxelize.voxelize_np(p, demo_scene("SmallRoom").boxes)
+    pulse = oracle.gaussian_pulse(p)[:70]
+    lix, liy = p.world_to_cell(5.0, 5.0)
+
+    ref = fdtd.simulate(p, beta, refl, jnp.asarray(pulse), lix, liy)
+    mref = analyzer.moments_from_pressure(p, ref.pressure, ref.onset)
+    res, m = fdtd_pallas.simulate_moments_pallas(
+        p, jnp.asarray(beta), jnp.asarray(refl), jnp.asarray(pulse),
+        jnp.int32(lix), jnp.int32(liy), interpret=True)
+    gx, gy = p.grid_x, p.grid_y
+    for name in ("e_dry", "e_wet", "e_total", "s0", "s1"):
+        a = np.asarray(getattr(m, name))[:gx, :gy]
+        b = np.asarray(getattr(mref, name))
+        scale = np.abs(b).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 1e-5, name
+
+    # end-to-end: moments assembly equals the full analyze()
+    out_full = analyzer.analyze(p, ref.pressure, ref.onset, ref.flux_x,
+                                ref.flux_y, np.float32(0.01),
+                                np.float32(5.0), np.float32(5.0))
+    out_m = analyzer.analyze_moments(p, m, res.onset, res.flux_x, res.flux_y,
+                                     np.float32(0.01), np.float32(5.0),
+                                     np.float32(5.0))
+    np.testing.assert_allclose(np.asarray(out_m.rt60),
+                               np.asarray(out_full.rt60), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_m.occlusion),
+                               np.asarray(out_full.occlusion), rtol=1e-4)
+
+
 def test_simulate_auto_dispatches_scan_on_cpu():
     import jax
 
@@ -74,3 +108,13 @@ def test_simulate_auto_dispatches_scan_on_cpu():
     res = fdtd_pallas.simulate_auto(p, jnp.asarray(beta), jnp.asarray(refl),
                                     jnp.asarray(pulse), 5, 5)
     assert res.pressure.shape == (16, p.nx, p.ny)  # unpadded => scan path
+
+
+def test_vmem_guard():
+    from planeverb_tpu.config import PlaneverbConfig
+
+    small = compute_grid_params(CFG)
+    assert fdtd_pallas.fits_vmem(small)
+    huge = compute_grid_params(PlaneverbConfig(
+        grid_size_x=300.0, grid_size_y=300.0, grid_resolution=750))
+    assert not fdtd_pallas.fits_vmem(huge)

@@ -31,3 +31,25 @@ def test_demo_scene_inventory():
         assert name in DEMO_SCENES
     assert len(demo_scene("SmallRoom")) == 4
     assert len(demo_scene("FloorPlanScene")) == 18
+
+
+class TestHeadSlice:
+    def test_project_to_slice_culls_by_listener_height(self):
+        from planeverb_tpu.scene import AABB3D, project_to_slice
+
+        boxes = [
+            AABB3D(1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 0.9),   # spans 0..2
+            AABB3D(4.0, 5.0, 1.0, 1.0, 1.0, 1.0, 0.8),   # spans 4.5..5.5
+            AABB3D(0.0, -3.0, 0.0, 1.0, 1.0, 1.0, 0.7),  # underground
+        ]
+        scene = project_to_slice(boxes, listener_y=1.5)
+        assert len(scene.boxes) == 1
+        b = scene.boxes[0]
+        # 2D projection keeps (x, z) footprint and absorption
+        assert (b.x, b.y, b.width, b.height) == (1.0, 2.0, 2.0, 3.0)
+        assert b.absorption == 0.9
+
+        # raising the listener to the second box's height flips the cull
+        scene2 = project_to_slice(boxes, listener_y=5.0)
+        assert len(scene2.boxes) == 1
+        assert scene2.boxes[0].x == 4.0

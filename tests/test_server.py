@@ -57,7 +57,7 @@ def test_full_session(client):
     assert ir["ok"] and len(ir["ir"]) > 100
 
     prof = client.call("profile")
-    assert prof["ok"] and "simulate" in prof["stages"]
+    assert prof["ok"] and "simulate+analyze" in prof["stages"]
 
     r = client.call("end_emission", id=eid)
     assert r["ok"]
