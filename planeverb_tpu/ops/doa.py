@@ -70,22 +70,25 @@ def encode_directions(params: GridParams, occlusion, delay,
     rr = jax.lax.broadcasted_iota(jnp.int32, (gx, gy), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (gx, gy), 1)
 
+    def _shift(arr, dr, dc, fill):
+        """arr value at (i+dr, j+dc), out-of-bounds filled — a padded slice,
+        not a gather (gathers are the slow op on TPU)."""
+        pr = ((max(-dr, 0), max(dr, 0)), (max(-dc, 0), max(dc, 0)))
+        padded = jnp.pad(arr, pr, constant_values=fill)
+        r0 = max(dr, 0)
+        c0 = max(dc, 0)
+        return padded[r0:r0 + gx, c0:c0 + gy]
+
     # best (strictly smallest-delay, occlusion>0) neighbor per cell
     best_delay = jnp.full((gx, gy), f32max)
     best_idx = (rr * gy + cc)  # self as placeholder
-    occ2 = occlusion
-    dly2 = delay
     for dr, dc in _NEIGHBOR_OFFSETS:
-        nr = rr + dr
-        nc = cc + dc
-        inb = (nr >= 0) & (nc >= 0) & (nr < gx) & (nc < gy)
-        nr_c = jnp.clip(nr, 0, gx - 1)
-        nc_c = jnp.clip(nc, 0, gy - 1)
-        n_delay = dly2[nr_c, nc_c]
-        n_occ = occ2[nr_c, nc_c]
-        cand_ok = inb & (n_occ > 0.0) & (n_delay < best_delay)
+        n_delay = _shift(delay, dr, dc, f32max)
+        n_occ = _shift(occlusion, dr, dc, 0.0)
+        cand_ok = (n_occ > 0.0) & (n_delay < best_delay)
         best_delay = jnp.where(cand_ok, n_delay, best_delay)
-        best_idx = jnp.where(cand_ok, nr_c * gy + nc_c, best_idx)
+        best_idx = jnp.where(
+            cand_ok, (rr + dr) * gy + (cc + dc), best_idx)
 
     nxt = best_idx.reshape(n)
     nxt_delay = best_delay.reshape(n)
@@ -112,8 +115,12 @@ def encode_directions(params: GridParams, occlusion, delay,
     start_terminal = (occ >= jnp.float32(k.distance_gain_threshold)) | (~has_next)
     s1 = jnp.where(start_terminal, jnp.arange(n), nxt)
 
-    # pointer jumping: g <- g∘g, log2(n) times, then resolve starts
-    jumps = max(1, math.ceil(math.log2(max(n, 2))))
+    # pointer jumping: g <- g∘g, then resolve starts. The walk's delay
+    # strictly decreases by >= 1 sample per hop (integer-valued onsets), so
+    # path length <= response_length; log2 of that bounds the squarings —
+    # typically ~9-11 iterations instead of log2(n_cells) ~ 16.
+    path_bound = min(max(n, 2), params.response_length + 2)
+    jumps = max(1, math.ceil(math.log2(path_bound)))
     def body(_, gg):
         return gg[gg]
     g = jax.lax.fori_loop(0, jumps, body, g)
