@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from planeverb_tpu.config import BoundaryType, GridParams
 from planeverb_tpu.ops.fdtd import FdtdResult, admittance
 
-__all__ = ["simulate_sharded", "shard_fields"]
+__all__ = ["simulate_sharded", "simulate_sharded_wide", "shard_fields"]
 
 
 def _shift_from_prev(x, axis_name, axis):
@@ -166,6 +166,187 @@ def simulate_sharded(params: GridParams, beta, refl, pulse,
         ts = jnp.arange(T, dtype=jnp.int32)
         (_, _, _, onset, fx, fy), pressure = jax.lax.scan(
             step, (p0, p0, p0, onset0, p0, p0), (ts, pulse))
+        return pressure, onset, fx, fy
+
+    shard = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("x", "y"), P("x", "y"), P(), P(), P()),
+        out_specs=(P(None, "x", "y"), P("x", "y"), P("x", "y"), P("x", "y")),
+        check_vma=False,
+    )
+    Y = admittance(refl)
+    pressure, onset, fx, fy = shard(local_sim)(
+        beta, Y, pulse, listener_ix, listener_iy)
+    return FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
+
+
+def _exchange_halo(x, halo, axis_name_x="x", axis_name_y="y"):
+    """Extend a [bx, by] block to [bx+2h, by+2h] with neighbor ghost cells.
+
+    Two-phase exchange: x-direction slabs first, then y-direction slabs of
+    the x-extended block — the second phase carries the corners, which the
+    k-step diamond dependency cone needs. Missing neighbors (global edges)
+    fill with zeros, matching the zero padding of the single-chip solver.
+    """
+    h = halo
+    nx_shards = jax.lax.axis_size(axis_name_x)
+    ny_shards = jax.lax.axis_size(axis_name_y)
+
+    def from_prev(slab, axis_name, n):
+        if n > 1:
+            return jax.lax.ppermute(slab, axis_name,
+                                    [(i, i + 1) for i in range(n - 1)])
+        return jnp.zeros_like(slab)
+
+    def from_next(slab, axis_name, n):
+        if n > 1:
+            return jax.lax.ppermute(slab, axis_name,
+                                    [(i + 1, i) for i in range(n - 1)])
+        return jnp.zeros_like(slab)
+
+    top = from_prev(x[-h:], axis_name_x, nx_shards)       # prev's last rows
+    bot = from_next(x[:h], axis_name_x, nx_shards)        # next's first rows
+    x = jnp.concatenate([top, x, bot], axis=0)            # [bx+2h, by]
+
+    left = from_prev(x[:, -h:], axis_name_y, ny_shards)   # incl. corners
+    right = from_next(x[:, :h], axis_name_y, ny_shards)
+    return jnp.concatenate([left, x, right], axis=1)      # [bx+2h, by+2h]
+
+
+def simulate_sharded_wide(params: GridParams, beta, refl, pulse,
+                          listener_ix, listener_iy, mesh: Mesh,
+                          nx_pad: int, ny_pad: int,
+                          halo: int = 8) -> FdtdResult:
+    """Sharded solver with multi-step halo widening.
+
+    Instead of four one-cell ppermutes per timestep (simulate_sharded),
+    each shard extends its block with ``halo``-cell ghost regions (corners
+    included), runs ``halo`` timesteps purely locally, then re-exchanges:
+    the per-step stencil radius is one cell, so a k-wide ghost stays exact
+    for k steps. Collective count drops k-fold at the cost of
+    O(k * perimeter) redundant compute — the standard latency/compute
+    trade for small per-step grids. Results are bit-identical per shape to
+    simulate_sharded up to f32 reduction order (golden-tested).
+
+    Global-index masks make ghost cells evolve exactly like their owning
+    shard's real cells (same ABC rows, same source injection), which is
+    what keeps the ghost region valid between exchanges.
+    """
+    gx, gy = params.grid_x, params.grid_y
+    courant = jnp.float32(params.courant)
+    thr = jnp.float32(params.constants.audible_threshold_gain)
+    src_dir_n = jnp.float32(params.source_dir_samples)
+    absorbing = params.boundary_type == BoundaryType.ABSORBING
+    T = params.response_length
+    k = halo
+    rounds = -(-T // k)
+    T_pad = rounds * k
+    mx = mesh.shape["x"]
+    my = mesh.shape["y"]
+    bx = nx_pad // mx
+    by = ny_pad // my
+    if k > bx or k > by:
+        raise ValueError(f"halo {k} exceeds shard block ({bx}, {by})")
+
+    def local_sim(beta, Y, pulse, lix, liy):
+        px = jax.lax.axis_index("x")
+        py = jax.lax.axis_index("y")
+        # global coordinates of the *extended* block
+        gi = (px * bx - k
+              + jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * k, by + 2 * k), 0))
+        gj = (py * by - k
+              + jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * k, by + 2 * k), 1))
+
+        beta_e = _exchange_halo(beta, k)
+        y_e = _exchange_halo(Y, k)
+        zrow = jnp.zeros((1, by + 2 * k), jnp.float32)
+        zcol = jnp.zeros((bx + 2 * k, 1), jnp.float32)
+        b_xm = jnp.concatenate([zrow, beta_e[:-1]], axis=0)
+        y_xm = jnp.concatenate([zrow, y_e[:-1]], axis=0)
+        b_ym = jnp.concatenate([zcol, beta_e[:, :-1]], axis=1)
+        y_ym = jnp.concatenate([zcol, y_e[:, :-1]], axis=1)
+
+        src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
+        row0 = (gi == 0)
+        row_gx = (gi == gx)
+        col0 = (gj == 0)
+        col_gy = (gj == gy)
+        in_gy = (gj < gy)
+        in_gx = (gi < gx)
+        interior = (slice(k, k + bx), slice(k, k + by))
+
+        z_int = jnp.zeros((bx, by), jnp.float32)
+
+        def one_round(carry, xt):
+            p_i, vx_i, vy_i, onset, fx, fy = carry
+            t0, pulse_k = xt            # t0 scalar, pulse_k [k]
+
+            p = _exchange_halo(p_i, k)
+            vx = _exchange_halo(vx_i, k)
+            vy = _exchange_halo(vy_i, k)
+
+            def one_step(s, st):
+                p, vx, vy, onset, fx, fy, recs = st
+                t = t0 + s
+
+                vx_xp = jnp.concatenate([vx[1:], zrow], axis=0)
+                vy_yp = jnp.concatenate([vy[:, 1:], zcol], axis=1)
+                div = (vx_xp - vx) + (vy_yp - vy)
+                p = beta_e * (p - courant * div)
+
+                p_xm = jnp.concatenate([zrow, p[:-1]], axis=0)
+                air = vx - courant * (p - p_xm)
+                y_bound = beta_e * y_xm + b_xm * y_e
+                wall = y_bound * (p_xm * b_xm + p * beta_e)
+                vx_new = beta_e * b_xm * air + (b_xm - beta_e) * wall
+
+                p_ym = jnp.concatenate([zcol, p[:, :-1]], axis=1)
+                air = vy - courant * (p - p_ym)
+                y_bound = beta_e * y_ym + b_ym * y_e
+                wall = y_bound * (p_ym * b_ym + p * beta_e)
+                vy_new = beta_e * b_ym * air + (b_ym - beta_e) * wall
+
+                if absorbing:
+                    top = jnp.where(in_gy, -p, 0.0)
+                    bot = jnp.where(in_gy, p_xm, 0.0)
+                    left = jnp.where(in_gx, -p, 0.0)
+                    right = jnp.where(in_gx, p_ym, 0.0)
+                else:
+                    top = bot = jnp.zeros_like(p)
+                    left = right = jnp.zeros_like(p)
+                vx = jnp.where(row0, top, jnp.where(row_gx, bot, vx_new))
+                vy = jnp.where(col0, left, jnp.where(col_gy, right, vy_new))
+
+                tf = t.astype(jnp.float32)
+                live = tf < float(T)
+                p_int = p[interior]
+                onset = jnp.minimum(
+                    onset,
+                    jnp.where(live & (jnp.abs(p_int) > thr), tf, jnp.inf))
+                m = ((tf < onset + src_dir_n) & live).astype(jnp.float32)
+                fx = fx + m * p_int * vx[interior]
+                fy = fy + m * p_int * vy[interior]
+
+                recs = recs.at[s].set(p_int)
+                p = p + src_mask * pulse_k[s]
+                return p, vx, vy, onset, fx, fy, recs
+
+            recs0 = jnp.zeros((k, bx, by), jnp.float32)
+            p, vx, vy, onset, fx, fy, recs = jax.lax.fori_loop(
+                0, k, one_step, (p, vx, vy, onset, fx, fy, recs0))
+            new_carry = (p[interior], vx[interior], vy[interior],
+                         onset, fx, fy)
+            return new_carry, recs
+
+        onset0 = jnp.full((bx, by), jnp.inf, jnp.float32)
+        t0s = jnp.arange(rounds, dtype=jnp.int32) * k
+        pulse_pad = jnp.zeros(T_pad, jnp.float32).at[:T].set(pulse)
+        pulse_rounds = pulse_pad.reshape(rounds, k)
+        (_, _, _, onset, fx, fy), recs = jax.lax.scan(
+            one_round, (z_int, z_int, z_int, onset0, z_int, z_int),
+            (t0s, pulse_rounds))
+        pressure = recs.reshape(T_pad, bx, by)[:T]
         return pressure, onset, fx, fy
 
     shard = functools.partial(

@@ -116,3 +116,42 @@ def test_end_to_end_sharded_analysis():
                                np.asarray(out_ref.rt60), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out.direction),
                                np.asarray(out_ref.direction), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,halo", [((2, 4), 4), ((2, 4), 7), ((1, 8), 3)])
+def test_wide_halo_matches_single_chip(shape, halo):
+    """Multi-step halo widening: k-wide ghosts exchanged every k steps must
+    reproduce the per-step-exchange solver exactly (incl. T % halo != 0)."""
+    from planeverb_tpu.parallel.solver import simulate_sharded_wide
+
+    p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+    ref = fdtd.simulate(p, beta, refl, pulse, lix, liy)
+
+    n = shape[0] * shape[1]
+    mesh = grid_mesh(jax.devices()[:n], shape)
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    res = simulate_sharded_wide(p, _pad(beta, nx_pad, ny_pad),
+                                _pad(refl, nx_pad, ny_pad), pulse,
+                                jnp.int32(lix), jnp.int32(liy), mesh,
+                                nx_pad, ny_pad, halo=halo)
+    np.testing.assert_allclose(
+        np.asarray(res.pressure)[:, :p.nx, :p.ny],
+        np.asarray(ref.pressure), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(res.onset)[:p.nx, :p.ny], np.asarray(ref.onset))
+    np.testing.assert_allclose(
+        np.asarray(res.flux_x)[:p.nx, :p.ny], np.asarray(ref.flux_x),
+        atol=1e-6)
+
+
+def test_wide_halo_rejects_oversized_halo():
+    from planeverb_tpu.parallel.solver import simulate_sharded_wide
+
+    p, beta, refl, pulse, lix, liy = _setup(None)
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    with pytest.raises(ValueError, match="halo"):
+        simulate_sharded_wide(p, _pad(beta, nx_pad, ny_pad),
+                              _pad(refl, nx_pad, ny_pad), pulse,
+                              jnp.int32(lix), jnp.int32(liy), mesh,
+                              nx_pad, ny_pad, halo=50)
