@@ -238,9 +238,16 @@ def cmd_serve(args) -> int:
     return 0
 
 
-def cmd_scenes(_args) -> int:
+def cmd_scenes(args) -> int:
+    from planeverb_tpu.scene import save_pv
+
     for name, scene in DEMO_SCENES.items():
         print(f"{name:20s} {len(scene.boxes):3d} boxes")
+    if args.export:
+        os.makedirs(args.export, exist_ok=True)
+        for name, scene in DEMO_SCENES.items():
+            save_pv(scene, os.path.join(args.export, f"{name}.pv"))
+        print(f"exported {len(DEMO_SCENES)} .pv files to {args.export}/")
     return 0
 
 
@@ -312,6 +319,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")
+    p.add_argument("--export", metavar="DIR", default=None,
+                   help="also write each demo scene as DIR/<name>.pv")
     p.set_defaults(fn=cmd_scenes)
 
     args = parser.parse_args(argv)

@@ -140,6 +140,16 @@ class EngineServer:
 
     def _get_output(self, req):
         out = self._ctx.get_output(int(req["id"]))
+        vals = [out.occlusion, out.wet_gain, out.rt60, out.lowpass,
+                out.direction.x, out.direction.y,
+                out.source_directivity.x, out.source_directivity.y]
+        # NaN/Inf validation before handing params to an audio engine
+        # (PlaneverbDSPUnity.cpp:102-110 analog): mark invalid, zero-fill
+        if not all(np.isfinite(v) for v in vals):
+            return {"ok": True, "valid": False, "occlusion": -1.0,
+                    "wet_gain": 0.0, "rt60": 0.0, "lowpass": 0.0,
+                    "direction": [0.0, 0.0],
+                    "source_directivity": [0.0, 0.0]}
         return {"ok": True, "valid": out.valid,
                 "occlusion": out.occlusion, "wet_gain": out.wet_gain,
                 "rt60": out.rt60, "lowpass": out.lowpass,
