@@ -27,10 +27,21 @@ INV_SQRT_2 = float(1.0 / np.sqrt(2.0))
 MAX_AUDIBLE_FREQ = 20000.0
 MIN_AUDIBLE_FREQ = 20.0
 
-__all__ = ["find_gain_a", "find_gain_b", "find_gain_c", "find_wet_gains",
+__all__ = ["db_to_gain", "gain_to_db", "find_gain_a", "find_gain_b", "find_gain_c", "find_wet_gains",
            "pan_gains", "cardioid", "omni", "distance_attenuation",
            "T_ER_1", "T_ER_2", "T_ER_3", "MIN_DRY_GAIN",
            "MAX_AUDIBLE_FREQ", "MIN_AUDIBLE_FREQ", "INV_SQRT_2"]
+
+
+def db_to_gain(db, xp=np):
+    """Volume dB -> linear gain (PlaneverbEmitter.cs volume handling)."""
+    return xp.power(xp.float32(10.0), xp.asarray(db, dtype=xp.float32) / 20.0)
+
+
+def gain_to_db(gain, xp=np):
+    """Linear gain -> dB with a -200 dB floor (Editor.cpp:396-434 readouts)."""
+    g = xp.maximum(xp.abs(xp.asarray(gain, dtype=xp.float32)), 1e-10)
+    return 20.0 * xp.log10(g)
 
 
 def find_gain_a(rt60, dry_gain, xp=np):

@@ -208,15 +208,21 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_grid(args) -> int:
-    # ASCII voxelization dump (Grid::PrintGrid analog, Grid.cpp:306-357)
+    # ASCII voxelization dump with listener/source markers
+    # (Grid::PrintGrid analog, Grid.cpp:306-357)
     from planeverb_tpu.config import compute_grid_params
     from planeverb_tpu.ops import voxelize
 
     params = compute_grid_params(_config(args))
     scene = _load_scene(args.scene)
     beta, _ = voxelize.voxelize_np(params, scene.boxes if scene else [])
+    marks = {}
+    lx, lz = _xy(args.listener)
+    marks[params.world_to_cell(lx, lz)] = "L"
+    for spec in (args.source or []):
+        marks[params.world_to_cell(*_xy(spec))] = "S"
     for i in range(params.nx):
-        print("".join("." if beta[i, j] > 0 else "#"
+        print("".join(marks.get((i, j), "." if beta[i, j] > 0 else "#")
                       for j in range(params.ny)))
     return 0
 
@@ -310,6 +316,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("grid", help="ASCII dump of the voxelized grid")
     common(p)
+    p.add_argument("--source", action="append", default=[],
+                   help="mark source positions with S")
     p.set_defaults(fn=cmd_grid)
 
     p = sub.add_parser("serve", help="run the TCP JSON engine server "
