@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from planeverb_tpu.config import GridParams
 from planeverb_tpu.ops import analyzer, fdtd
 
-__all__ = ["simulate_listeners", "analyze_listeners", "simulate_scenes"]
+__all__ = ["simulate_listeners", "analyze_listeners", "simulate_scenes",
+           "simulate_slices"]
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -65,3 +66,35 @@ def simulate_scenes(params: GridParams, beta, refl, pulse,
     sim = lambda b, r: fdtd.simulate(params, b, r, pulse,
                                      listener_ix, listener_iy)
     return jax.vmap(sim)(beta, refl)
+
+
+def simulate_slices(params: GridParams, boxes3d, heights, pulse,
+                    listener_ix, listener_iy,
+                    head_slice: float = 0.5) -> fdtd.FdtdResult:
+    """2.5D slice stack: one 2D sim per horizontal slice of a 3D scene.
+
+    The reference simulates a single slice at the listener's head height
+    (head-slice culling, PlaneverbObject.cs:194-200); on TPU a whole stack
+    of slices is one batched call — e.g. per-floor acoustics of a building,
+    or height-interpolated parameters for flying sources (the "3D-slice
+    stacks" scaling axis of BASELINE.json's north star).
+
+    Args:
+      boxes3d: iterable of scene.AABB3D.
+      heights: [H] listener ear heights (one slice each).
+    Returns FdtdResult with a leading [H] axis.
+    """
+    import numpy as np
+
+    from planeverb_tpu.ops import voxelize
+    from planeverb_tpu.scene import project_to_slice
+
+    betas, refls = [], []
+    for h in heights:
+        scene = project_to_slice(boxes3d, float(h), head_slice)
+        b, r = voxelize.voxelize_np(params, scene.boxes)
+        betas.append(b)
+        refls.append(r)
+    return simulate_scenes(params, jnp.asarray(np.stack(betas)),
+                           jnp.asarray(np.stack(refls)), pulse,
+                           listener_ix, listener_iy)

@@ -51,7 +51,8 @@ def pad_tile(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _kernel(scal_ref, beta_ref, y_ref, bxm_ref, yxm_ref, bym_ref, yym_ref,
+def _kernel(scal_ref, beta_ref, bxm_ref, bym_ref,
+            bbx_ref, wx_ref, bby_ref, wy_ref,
             pulse_ref, rec_ref, onset_ref, fx_ref, fy_ref,
             ed_ref, ew_ref, et_ref,
             p_ref, vx_ref, vy_ref,
@@ -73,11 +74,15 @@ def _kernel(scal_ref, beta_ref, y_ref, bxm_ref, yxm_ref, bym_ref, yym_ref,
         et_ref[:] = zeros
 
     beta = beta_ref[:]
-    Y = y_ref[:]
     b_xm = bxm_ref[:]
-    y_xm = yxm_ref[:]
     b_ym = bym_ref[:]
-    y_ym = yym_ref[:]
+    # static per-geometry stencil coefficients (see _simulate_impl): bb_* =
+    # beta*b_*m, w_* = (b_*m - beta) * (beta*y_*m + b_*m*Y). Exact folding:
+    # the beta masks are 0/1, so the folded factors are 0/±1 multiplies.
+    bb_x = bbx_ref[:]
+    w_x = wx_ref[:]
+    bb_y = bby_ref[:]
+    w_y = wy_ref[:]
     gi = jax.lax.broadcasted_iota(jnp.int32, (npx, npy), 0)
     gj = jax.lax.broadcasted_iota(jnp.int32, (npx, npy), 1)
     lix = scal_ref[0, 0]
@@ -99,15 +104,11 @@ def _kernel(scal_ref, beta_ref, y_ref, bxm_ref, yxm_ref, bym_ref, yym_ref,
         # -- velocities with admittance wall terms    (FDTD.cpp:143-199)
         p_xm = jnp.concatenate([zrow, p[:-1]], axis=0)
         air = vx - courant * (p - p_xm)
-        y_bound = beta * y_xm + b_xm * Y
-        wall = y_bound * (p_xm * b_xm + p * beta)
-        vx_new = beta * b_xm * air + (b_xm - beta) * wall
+        vx_new = bb_x * air + w_x * (p_xm * b_xm + p * beta)
 
         p_ym = jnp.concatenate([zcol, p[:, :-1]], axis=1)
         air = vy - courant * (p - p_ym)
-        y_bound = beta * y_ym + b_ym * Y
-        wall = y_bound * (p_ym * b_ym + p * beta)
-        vy_new = beta * b_ym * air + (b_ym - beta) * wall
+        vy_new = bb_y * air + w_y * (p_ym * b_ym + p * beta)
 
         # -- outer-edge impedance ABC as index masks  (FDTD.cpp:201-223)
         if absorbing:
@@ -236,6 +237,13 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     y_xm = jnp.concatenate([zrow, Y[:-1]], axis=0)
     b_ym = jnp.concatenate([zcol, beta_p[:, :-1]], axis=1)
     y_ym = jnp.concatenate([zcol, Y[:, :-1]], axis=1)
+    # folded static stencil coefficients (exact: beta masks are 0/1, so the
+    # folded products are 0/±1 multiplies — rounding identical to the
+    # unfolded per-step expressions in ops/fdtd.py)
+    bb_x = beta_p * b_xm
+    w_x = (b_xm - beta_p) * (beta_p * y_xm + b_xm * Y)
+    bb_y = beta_p * b_ym
+    w_y = (b_ym - beta_p) * (beta_p * y_ym + b_ym * Y)
 
     scal = jnp.array([listener_ix, listener_iy],
                      dtype=jnp.int32).reshape(1, 2)
@@ -261,7 +269,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         grid=(T_pad // chunk,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda c: (0, 0), memory_space=pltpu.SMEM),
-            field, field, field, field, field, field,
+            field, field, field, field, field, field, field,
             pl.BlockSpec((T_pad, 1), lambda c: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -285,7 +293,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scal, beta_p, Y, b_xm, y_xm, b_ym, y_ym, pulse2)
+    )(scal, beta_p, b_xm, b_ym, bb_x, w_x, bb_y, w_y, pulse2)
 
     # crop the T padding (rows past T hold harmless continued simulation,
     # but the analyzer's windows assume exactly response_length rows)
@@ -359,13 +367,13 @@ _VMEM_BUDGET_BYTES = 12 << 20  # leave headroom below the ~16 MB/core VMEM
 
 
 def _kernel_vmem_bytes(params: GridParams, chunk: int = 16) -> int:
-    """Estimated VMEM footprint of the fused kernel: 7 field inputs + 3
+    """Estimated VMEM footprint of the fused kernel: 8 field inputs + 3
     scratch + 6 cell outputs resident, plus a double-buffered chunk-sized
     recording block."""
     npx = pad_tile(params.nx, _SUBLANE)
     npy = pad_tile(params.ny, _LANE)
     cell = npx * npy * 4
-    return cell * (7 + 3 + 6) + 2 * chunk * cell
+    return cell * (8 + 3 + 6) + 2 * chunk * cell
 
 
 def fits_vmem(params: GridParams, chunk: int = 16) -> bool:

@@ -9,6 +9,7 @@ same sharding with XLA inserting the few collectives it needs.
 """
 
 from planeverb_tpu.parallel.mesh import grid_mesh, pad_to_mesh
-from planeverb_tpu.parallel.solver import simulate_sharded
+from planeverb_tpu.parallel.solver import simulate_sharded, simulate_sharded_wide
 
-__all__ = ["grid_mesh", "pad_to_mesh", "simulate_sharded"]
+__all__ = ["grid_mesh", "pad_to_mesh", "simulate_sharded",
+           "simulate_sharded_wide"]

@@ -62,3 +62,20 @@ def test_batched_scenes_match_individual_runs():
         ref = fdtd.simulate(p, b, r, pulse, lix, liy)
         np.testing.assert_allclose(np.asarray(res.pressure[i]),
                                    np.asarray(ref.pressure), atol=1e-6)
+
+
+def test_slice_stack():
+    """Per-height slices see different geometry (wall only at low heights)."""
+    from planeverb_tpu.ops.batch import simulate_slices
+    from planeverb_tpu.scene import AABB3D
+
+    p, _, _, pulse = _setup(T=60)
+    boxes3d = [AABB3D(6.0, 1.0, 5.0, 0.5, 2.0, 8.0, 0.97)]  # wall 0..2 m
+    lix, liy = p.world_to_cell(4.0, 5.0)
+    res = simulate_slices(p, boxes3d, [1.0, 5.0], pulse, lix, liy)
+    assert res.pressure.shape[0] == 2
+    # probe beyond the wall: low slice is blocked, high slice is free field
+    px, py = p.world_to_cell(8.0, 5.0)
+    e_low = float(np.sum(np.asarray(res.pressure[0, :, px, py]) ** 2))
+    e_high = float(np.sum(np.asarray(res.pressure[1, :, px, py]) ** 2))
+    assert e_high > 2.0 * e_low

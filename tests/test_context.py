@@ -97,3 +97,23 @@ def test_api_facade():
     finally:
         api.exit()
     assert api.get_output(0).occlusion == INVALID_DRY_GAIN
+
+
+def test_change_settings_full_reinit():
+    """ChangeSettings = full teardown + re-init (PvContext.cpp:45-49)."""
+    import dataclasses
+
+    api.init(CFG, background=False)
+    try:
+        first = api.get_context()
+        cfg2 = dataclasses.replace(CFG, grid_size_x=6.0, grid_size_y=6.0)
+        ctx2 = api.change_settings(cfg2)
+        assert ctx2 is not first
+        assert ctx2.params.grid_size_x == 6.0
+        assert api.get_context() is ctx2
+        # the new context is functional
+        ctx2.set_listener_position(3.0, 0.0, 3.0)
+        ctx2.step()
+        assert ctx2.result_at(4.0, 3.0).valid
+    finally:
+        api.exit()
