@@ -382,15 +382,18 @@ def fits_vmem(params: GridParams, chunk: int = 16) -> bool:
 
 def simulate_auto(params: GridParams, beta, refl, pulse,
                   listener_ix, listener_iy) -> FdtdResult:
-    """Pallas kernel on TPU (when the grid fits VMEM), lax.scan elsewhere.
+    """Fastest solver per platform/size: fused VMEM-resident Pallas kernel
+    for grids that fit VMEM, tile-streamed Pallas kernel (ops/fdtd_tiled.py)
+    for larger grids on TPU, lax.scan elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        if fits_vmem(params):
+            return simulate_pallas(params, beta, refl, pulse,
+                                   listener_ix, listener_iy)
+        from planeverb_tpu.ops.fdtd_tiled import simulate_tiled
 
-    Grids too large for the VMEM-resident kernel (> ~600k cells) fall back
-    to the scan solver; at that scale the right tool is the sharded solver
-    (parallel/solver.py) across chips.
-    """
-    if jax.devices()[0].platform == "tpu" and fits_vmem(params):
-        return simulate_pallas(params, beta, refl, pulse,
-                               listener_ix, listener_iy)
+        res, _ = simulate_tiled(params, beta, refl, pulse,
+                                listener_ix, listener_iy)
+        return res
     return fdtd_scan.simulate(params, beta, refl, pulse,
                               listener_ix, listener_iy)
 
@@ -405,9 +408,15 @@ def pipeline_auto(params: GridParams, beta, refl, pulse,
     """
     from planeverb_tpu.ops import analyzer
 
-    if jax.devices()[0].platform == "tpu" and fits_vmem(params):
-        res, moments = simulate_moments_pallas(
-            params, beta, refl, pulse, listener_ix, listener_iy)
+    if jax.devices()[0].platform == "tpu":
+        if fits_vmem(params):
+            res, moments = simulate_moments_pallas(
+                params, beta, refl, pulse, listener_ix, listener_iy)
+        else:
+            from planeverb_tpu.ops.fdtd_tiled import simulate_moments_tiled
+
+            res, moments = simulate_moments_tiled(
+                params, beta, refl, pulse, listener_ix, listener_iy)
     else:
         res = fdtd_scan.simulate(params, beta, refl, pulse,
                                  listener_ix, listener_iy)
