@@ -41,11 +41,21 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+# grids above this cell count compute DOA lazily per query (host walk)
+# instead of the full-grid device pass — see ops/doa.py::walk_direction
+LAZY_DOA_CELLS = 1 << 16
+
+
 class Context:
-    def __init__(self, config: PlaneverbConfig, scene: Scene | None = None):
+    def __init__(self, config: PlaneverbConfig, scene: Scene | None = None,
+                 lazy_directions: bool | None = None):
         config.validate()
         self.config = config
         self.params: GridParams = compute_grid_params(config)
+        if lazy_directions is None:
+            lazy_directions = (self.params.grid_x * self.params.grid_y
+                               > LAZY_DOA_CELLS)
+        self._lazy_doa = lazy_directions
         self.geometry = GeometryRegistry()
         self.emissions = EmissionRegistry()
         self.timer = StageTimer()
@@ -127,7 +137,8 @@ class Context:
         with self.timer.stage("simulate+analyze"):
             res, out = pipeline_auto(
                 self.params, self._beta, self._refl, self._pulse, cix, ciy,
-                np.float32(self.efree), np.float32(lx), np.float32(lz))
+                np.float32(self.efree), np.float32(lx), np.float32(lz),
+                compute_directions=not self._lazy_doa)
         with self.timer.stage("publish"):
             published = {
                 "occlusion": np.asarray(out.occlusion),
@@ -166,7 +177,16 @@ class Context:
         cy = int(np.float32(z + p.grid_offset_y) / np.float32(p.dx))
         if not (0 <= cx < p.grid_x and 0 <= cy < p.grid_y):
             return invalid_output()
-        d = results["direction"][cx, cy]
+        if self._lazy_doa:
+            from planeverb_tpu.ops.doa import walk_direction
+
+            llx, llz = self._results_listener
+            d = walk_direction(
+                self.params, results["occlusion"], results["delay_samples"],
+                cx, cy, llx + self.params.grid_offset_x,
+                llz + self.params.grid_offset_y)
+        else:
+            d = results["direction"][cx, cy]
         s = results["source_directivity"][cx, cy]
         return PlaneverbOutput(
             occlusion=float(results["occlusion"][cx, cy]),

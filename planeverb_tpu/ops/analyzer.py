@@ -143,10 +143,12 @@ def moments_from_pressure(params: GridParams, pressure, onset) -> Moments:
     return Moments(e_dry=e_dry, e_wet=e_wet, e_total=e_total, s0=s0, s1=s1)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "compute_directions"))
 def analyze_moments(params: GridParams, moments: Moments, onset,
                     flux_x, flux_y, efree,
-                    listener_x, listener_y) -> AnalyzerResults:
+                    listener_x, listener_y,
+                    compute_directions: bool = True) -> AnalyzerResults:
     """Assemble per-cell acoustic parameters from precomputed moments.
 
     Pure elementwise math on [gx, gy] grids plus the DOA pass — no [T, ...]
@@ -214,8 +216,13 @@ def analyze_moments(params: GridParams, moments: Moments, onset,
 
     delay = jnp.where(found, onset, jnp.float32(jnp.finfo(jnp.float32).max))
 
-    # -- pass 2: direction via parallel delay-field descent (ops/doa.py)
-    direction = encode_directions(params, occlusion, delay, lwx, lwy)
+    # -- pass 2: direction via parallel delay-field descent (ops/doa.py).
+    # For very large grids Context defers this to lazy per-query host walks
+    # (doa.walk_direction) — the full-grid gather pass costs ~25 ms there.
+    if compute_directions:
+        direction = encode_directions(params, occlusion, delay, lwx, lwy)
+    else:
+        direction = jnp.zeros((gx, gy, 2), jnp.float32)
 
     return AnalyzerResults(
         occlusion=occlusion, wet_gain=wet_gain, rt60=rt60, lowpass=lowpass,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from planeverb_tpu.config import GridParams
 
-__all__ = ["encode_directions"]
+__all__ = ["encode_directions", "walk_direction"]
 
 # neighbor order matters for tie-breaking: strict < keeps the earliest
 # minimal neighbor, matching the reference's iteration order
@@ -135,3 +135,79 @@ def encode_directions(params: GridParams, occlusion, delay,
     inv_len = jnp.where(length_sq != 0.0, 1.0 / jnp.sqrt(length_sq), 1.0)
     out = jnp.stack([ox * inv_len, oy * inv_len], axis=-1)
     return out.reshape(gx, gy, 2)
+
+
+def walk_direction(params: GridParams, occlusion, delay, sx: int, sy: int,
+                   listener_wx: float, listener_wy: float):
+    """Single-cell DOA by the greedy walk, on the host (numpy).
+
+    Semantics identical to :func:`encode_directions` (same neighbor order,
+    tie-breaking, and terminal predicate), evaluated lazily for one source
+    cell. For large grids the full-grid pointer-jumping pass costs ~25 ms of
+    TPU gathers per update, while a game queries only a handful of emitter
+    cells — so Context switches to per-query host walks there (microseconds
+    each on the small [gx, gy] parameter grids).
+
+    Args:
+      occlusion, delay: [gx, gy] numpy arrays (pass-1 outputs).
+      sx, sy: source cell indices.
+      listener_wx, listener_wy: listener world position incl. grid offset.
+    Returns (dir_x, dir_y).
+    """
+    import numpy as np
+
+    gx, gy = params.grid_x, params.grid_y
+    k = params.constants
+    dx = np.float32(params.dx)
+    fs = np.float32(params.fs)
+    c_sound = np.float32(k.c)
+    wavelength = c_sound / np.float32(params.resolution)
+    thr_dist = np.float32(0.3) * wavelength
+    f32max = np.float32(np.finfo(np.float32).max)
+
+    def best_neighbor(i, j):
+        best_d = f32max
+        best = (i, j)
+        for dr, dc in _NEIGHBOR_OFFSETS:
+            ni, nj = i + dr, j + dc
+            if not (0 <= ni < gx and 0 <= nj < gy):
+                continue
+            if occlusion[ni, nj] > 0.0 and delay[ni, nj] < best_d:
+                best_d = delay[ni, nj]
+                best = (ni, nj)
+        return best, best_d
+
+    def los(i, j):
+        ex = np.float32(i) * dx
+        ey = np.float32(j) * dx
+        euclid = np.sqrt((ex - listener_wx) ** 2 + (ey - listener_wy) ** 2)
+        geodesic = c_sound * delay[i, j] / fs
+        return abs(geodesic - euclid) < thr_dist
+
+    def terminal(i, j, nxt_d):
+        return (los(i, j)
+                or delay[i, j] <= np.float32(k.delay_close_threshold)
+                or occlusion[i, j] >= np.float32(k.distance_gain_threshold)
+                or nxt_d >= delay[i, j])
+
+    # first step from the start cell: delay register is +inf, LOS unchecked
+    cur = (sx, sy)
+    nxt, nxt_d = best_neighbor(*cur)
+    if not (occlusion[sx, sy] >= np.float32(k.distance_gain_threshold)
+            or nxt_d == f32max):
+        cur = nxt
+        for _ in range(params.response_length + 2):
+            nxt, nxt_d = best_neighbor(*cur)
+            if nxt_d == f32max or terminal(*cur, nxt_d):
+                break
+            cur = nxt
+
+    ex = np.float32(cur[0]) * dx
+    ey = np.float32(cur[1]) * dx
+    ox = np.float32(ex - listener_wx)
+    oy = np.float32(ey - listener_wy)
+    length_sq = ox * ox + oy * oy
+    if length_sq != 0.0:
+        inv = np.float32(1.0) / np.sqrt(length_sq, dtype=np.float32)
+        ox, oy = ox * inv, oy * inv
+    return float(ox), float(oy)

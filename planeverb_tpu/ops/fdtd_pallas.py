@@ -399,7 +399,8 @@ def simulate_auto(params: GridParams, beta, refl, pulse,
 
 
 def pipeline_auto(params: GridParams, beta, refl, pulse,
-                  listener_ix, listener_iy, efree, listener_x, listener_z):
+                  listener_ix, listener_iy, efree, listener_x, listener_z,
+                  compute_directions: bool = True):
     """Full pass: sim + analysis, fastest available path per platform.
 
     Returns (FdtdResult, AnalyzerResults). On TPU the analyzer moments are
@@ -423,5 +424,6 @@ def pipeline_auto(params: GridParams, beta, refl, pulse,
         moments = analyzer.moments_from_pressure(params, res.pressure,
                                                  res.onset)
     out = analyzer.analyze_moments(params, moments, res.onset, res.flux_x,
-                                   res.flux_y, efree, listener_x, listener_z)
+                                   res.flux_y, efree, listener_x, listener_z,
+                                   compute_directions=compute_directions)
     return res, out

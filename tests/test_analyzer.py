@@ -119,3 +119,24 @@ def test_direction_parity(pair):
     diff = np.abs(eng - o).max(axis=-1)
     frac_bad = float((diff > 1e-4).mean())
     assert frac_bad <= 0.01, frac_bad
+
+
+def test_lazy_walk_matches_pointer_jumping(pair):
+    """Per-query host walk == full-grid device DOA on every cell."""
+    from planeverb_tpu.ops.doa import walk_direction
+
+    name, p, out, ref = pair
+    occl = np.asarray(out.occlusion)
+    delay = np.asarray(out.delay_samples)
+    full = np.asarray(out.direction)
+    mismatches = 0
+    for i in range(0, p.grid_x, 2):
+        for j in range(0, p.grid_y, 2):
+            dx, dy = walk_direction(p, occl, delay, i, j,
+                                    np.float32(LISTENER[0]),
+                                    np.float32(LISTENER[1]))
+            if abs(dx - full[i, j, 0]) > 1e-4 or abs(dy - full[i, j, 1]) > 1e-4:
+                mismatches += 1
+    total = ((p.grid_x + 1) // 2) * ((p.grid_y + 1) // 2)
+    # identical semantics; allow only float-tie stragglers
+    assert mismatches / total <= 0.01, (name, mismatches, total)

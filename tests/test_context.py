@@ -117,3 +117,17 @@ def test_change_settings_full_reinit():
         assert ctx2.result_at(4.0, 3.0).valid
     finally:
         api.exit()
+
+
+def test_lazy_directions_context_matches_default():
+    ctx_a = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx_b = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                       lazy_directions=True)
+    for ctx in (ctx_a, ctx_b):
+        ctx.set_listener_position(5.0, 0.0, 5.0)
+        ctx.step()
+    a = ctx_a.result_at(6.5, 5.0)
+    b = ctx_b.result_at(6.5, 5.0)
+    assert a.occlusion == b.occlusion
+    assert abs(a.direction.x - b.direction.x) < 1e-4
+    assert abs(a.direction.y - b.direction.y) < 1e-4
