@@ -15,6 +15,11 @@ Intentional deviations from the reference, documented:
   - Loop lengths use this call's ``num_frames``; the reference sizes some
     loops by the running *max* frames seen (m_numFrames, PvDSPContext.cpp:253)
     which reads stale input when callbacks shrink.
+  - Directivity pattern changes take effect: the reference stores the new
+    pattern only in the target map and reads the current map's pattern,
+    which it never assigns (PvDSPContext.cpp:84-88, 321) — so
+    SetEmitterDirectivityPattern is a no-op there. Here the pattern
+    propagates target -> current each submit.
 
 For real-time audio threads use the C ABI native module (planeverb_tpu/native)
 — identical semantics, no Python in the callback. For bulk offline rendering
@@ -79,8 +84,19 @@ class DSPContext:
 
     # ------------------------------------------------------------- setters
     def set_listener_transform(self, position, forward) -> None:
-        self._listener_pos = tuple(position)
-        self._listener_fwd = tuple(forward)
+        # normalize to 3D here so a 2D tuple fails loudly at the setter, not
+        # as an IndexError deep inside the next submit_source
+        self._listener_pos = self._vec3(position)
+        self._listener_fwd = self._vec3(forward)
+
+    @staticmethod
+    def _vec3(v) -> tuple:
+        v = tuple(float(c) for c in v)
+        if len(v) == 2:
+            return (v[0], 0.0, v[1])
+        if len(v) != 3:
+            raise ValueError(f"expected a 2D or 3D vector, got {v!r}")
+        return v
 
     def update_emitter(self, eid: int, position, forward) -> None:
         t = self._target.setdefault(eid, EmissionParams())
@@ -191,9 +207,8 @@ class DSPContext:
 
         # ---- smooth current params toward targets (PvDSPContext.cpp:407-424)
         def settle(c, t):
-            _, fin = gains.lerp_ramp(np.asarray(c, f32), np.asarray(t, f32),
-                                     factor, n)
-            return fin
+            return gains.lerp_final(np.asarray(c, f32), np.asarray(t, f32),
+                                    factor, n)
 
         cur.occlusion = float(dry_final)
         cur.direction = tuple(settle(np.array(cur.direction),

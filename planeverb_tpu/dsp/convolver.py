@@ -19,8 +19,6 @@ supported"). This module implements the intended capability for real:
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import numpy as np
 
 __all__ = ["synthetic_ir", "resample_ir", "convolve_offline",
@@ -69,11 +67,6 @@ def convolve_offline(audio, ir, xp=None):
         b = b[:, None]
     y = xp.fft.irfft(a * b, nfft, axis=0)[:n]
     return y.astype(xp.float32)
-
-
-class _FDLState(NamedTuple):
-    fdl: object       # [P, nfft//2+1] complex spectra delay line
-    overlap: object   # [L] (or [L, C]) saved tail
 
 
 class PartitionedConvolver:

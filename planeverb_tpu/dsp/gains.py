@@ -29,6 +29,7 @@ MIN_AUDIBLE_FREQ = 20.0
 
 __all__ = ["db_to_gain", "gain_to_db", "find_gain_a", "find_gain_b", "find_gain_c", "find_wet_gains",
            "pan_gains", "cardioid", "omni", "distance_attenuation",
+           "lerp_ramp", "lerp_final",
            "T_ER_1", "T_ER_2", "T_ER_3", "MIN_DRY_GAIN",
            "MAX_AUDIBLE_FREQ", "MIN_AUDIBLE_FREQ", "INV_SQRT_2"]
 
@@ -132,13 +133,22 @@ def lerp_ramp(current, target, factor, n, xp=np):
     g_{j+1} = g_j (1-f) + T f  =>  g_j = T + (g_0 - T)(1-f)^j.
     Returns the length-``n`` ramp g_0..g_{n-1} (values *used* at each sample)
     and g_n (the post-loop state). Shapes broadcast: current/target may be
-    [...] and the ramp gains an appended axis of length n.
+    [...] and the ramp gains an appended axis of length n. ``factor`` may be
+    a traced scalar; ``n`` must be a static int.
     """
     current = xp.asarray(current, dtype=xp.float32)
     target = xp.asarray(target, dtype=xp.float32)
+    f = xp.asarray(factor, dtype=xp.float32)
     j = xp.arange(n, dtype=xp.float32)
-    decay = xp.power(xp.float32(1.0) - xp.float32(factor), j)
+    decay = xp.power(1.0 - f, j)
     ramp = target[..., None] + (current - target)[..., None] * decay
-    final = target + (current - target) * xp.float32(
-        (1.0 - factor)) ** xp.float32(n)
+    final = target + (current - target) * xp.power(1.0 - f, xp.float32(n))
     return ramp, final
+
+
+def lerp_final(current, target, factor, n, xp=np):
+    """Just the post-loop state of :func:`lerp_ramp` (no ramp allocation)."""
+    current = xp.asarray(current, dtype=xp.float32)
+    target = xp.asarray(target, dtype=xp.float32)
+    f = xp.asarray(factor, dtype=xp.float32)
+    return target + (current - target) * xp.power(1.0 - f, xp.float32(n))

@@ -45,17 +45,28 @@ def process(x: np.ndarray, state: LowpassState, cutoff_hz: float,
     """Filter a mono block in place-semantics (returns new array), updating
     ``state``. Matches the reference's net behavior: coefficients are set
     directly from the submitted cutoff (SetCutoff before Process makes the
-    reference's coefficient lerp a no-op — PvDSPContext.cpp:286,354)."""
+    reference's coefficient lerp a no-op — PvDSPContext.cpp:286,354).
+
+    The recursion y[n] = cx*x[n] + cy1*y[n-1] + cy2*y[n-2] is evaluated with
+    scipy's C lfilter (the same IIR with a = [1, -cy1, -cy2]) — a per-sample
+    Python loop here would dominate every submit_source call.
+    """
+    from scipy.signal import lfilter
+
     cx, cy1, cy2 = coefficients(np.float32(cutoff_hz),
                                 np.float32(sampling_rate))
-    out = np.empty_like(x, dtype=np.float32)
-    y1, y2 = state.y1, state.y2
-    for i in range(len(x)):
-        v = cx * np.float32(x[i]) + cy1 * y1 + cy2 * y2
-        out[i] = v
-        y2 = y1
-        y1 = v
-    state.y1, state.y2 = y1, y2
+    # direct-form II transposed initial conditions reproducing the carried
+    # (y[-1], y[-2]) memory: z0 = cy1*y1 + cy2*y2, z1 = cy2*y1
+    zi = np.array([cy1 * state.y1 + cy2 * state.y2, cy2 * state.y1],
+                  np.float32)
+    out, zf = lfilter(np.array([cx], np.float32),
+                      np.array([1.0, -cy1, -cy2], np.float32),
+                      np.asarray(x, np.float32), zi=zi)
+    out = out.astype(np.float32)
+    if len(x) >= 2:
+        state.y1, state.y2 = np.float32(out[-1]), np.float32(out[-2])
+    elif len(x) == 1:
+        state.y1, state.y2 = np.float32(out[-1]), state.y1
     return out
 
 

@@ -67,12 +67,8 @@ def init_state(num_sources: int) -> DSPState:
 
 
 def _ramp(cur, tgt, factor, n):
-    """[S] current/target -> [S, N] closed-form lerp ramp + [S] final."""
-    j = jnp.arange(n, dtype=jnp.float32)
-    decay = jnp.power(1.0 - factor, j)                   # [N]
-    ramp = tgt[:, None] + (cur - tgt)[:, None] * decay[None, :]
-    final = tgt + (cur - tgt) * jnp.power(1.0 - factor, jnp.float32(n))
-    return ramp, final
+    """[S] current/target -> [S, N] ramp + [S] final (shared gain math)."""
+    return gains.lerp_ramp(cur, tgt, factor, n, xp=jnp)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -103,7 +99,26 @@ def render_block(config: PlaneverbDSPConfig, audio, target: SourceParams,
              & (target.lowpass <= gains.MAX_AUDIBLE_FREQ)
              & (target.occlusion > 0.0)
              & ((target.direction[:, 0] != 0.0) | (target.direction[:, 1] != 0.0)))
-    vf = valid.astype(jnp.float32)
+
+    # Sanitize rejected sources' params to their current values BEFORE any
+    # math: a NaN/Inf param would otherwise flow through the filter/gain
+    # chains, and NaN * 0 masking still poisons the cross-source bus sums
+    # (the streaming renderer isolates invalid sources by early return).
+    def _san(t, c):
+        if t.ndim == 2:
+            return jnp.where(valid[:, None], t, c)
+        return jnp.where(valid, t, c)
+
+    target = SourceParams(
+        occlusion=_san(target.occlusion, cur.occlusion),
+        wet_gain=_san(target.wet_gain, cur.wet_gain),
+        rt60=_san(target.rt60, cur.rt60),
+        lowpass=_san(target.lowpass, cur.lowpass),
+        direction=_san(target.direction, cur.direction),
+        position=_san(target.position, cur.position),
+        forward=_san(target.forward, cur.forward),
+        directivity=_san(target.directivity, cur.directivity),
+        pattern=jnp.where(valid, target.pattern, cur.pattern))
 
     factor = jnp.float32(1.0 / (n * config.dsp_smoothing_factor))
 
@@ -147,7 +162,7 @@ def render_block(config: PlaneverbDSPConfig, audio, target: SourceParams,
     # frozen filters for rejected sources
     y1 = jnp.where(valid, y1, state.lpf_y1)
     y2 = jnp.where(valid, y2, state.lpf_y2)
-    mono_f = mono_f * vf[:, None]
+    mono_f = jnp.where(valid[:, None], mono_f, 0.0)
 
     # ---- wet buses
     ratio = jnp.float32(config.wet_gain_ratio)
@@ -170,7 +185,7 @@ def render_block(config: PlaneverbDSPConfig, audio, target: SourceParams,
 
     # ---- settle current params toward targets (valid sources only)
     def settle(c, t):
-        fin = t + (c - t) * jnp.power(1.0 - factor, jnp.float32(n))
+        fin = gains.lerp_final(c, t, factor, n, xp=jnp)
         if c.ndim == 2:
             return jnp.where(valid[:, None], fin, c)
         return jnp.where(valid, fin, c)

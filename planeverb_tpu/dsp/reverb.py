@@ -122,8 +122,14 @@ def reverb_scan(x, state: ReverbState, params: ReverbParams):
             buf_out = new_ap[:, k, rd_a[k]]
             new_ap = new_ap.at[:, k, jnp.mod(pos, la)].set(s + buf_out * g)
             s = buf_out - g * s
-        return (wr, comb_lp, new_ap, pos + 1), s
+        # wrap pos at lcm(lc, la): both index phases stay continuous while
+        # the int32 counter never overflows (it would after ~13.5 h at
+        # 44.1 kHz, discontinuously jumping every ring phase)
+        return (wr, comb_lp, new_ap, jnp.mod(pos + 1, wrap)), s
 
+    import math
+
+    wrap = jnp.int32(math.lcm(lc, la))
     (comb_buf, comb_lp, ap_buf, pos), ys = jax.lax.scan(
         step, (state.comb_buf, state.comb_lp, state.ap_buf, state.pos), x.T)
     return ys.T, ReverbState(comb_buf=comb_buf, comb_lp=comb_lp,
@@ -140,9 +146,9 @@ def mix_output(dry, wet_a, wet_b, wet_c, sample_rate: int,
     """
     import jax.numpy as jnp
 
-    from planeverb_tpu.config import CONSTANTS  # noqa: F401  (parity doc)
+    from planeverb_tpu.dsp.gains import T_ER_1, T_ER_2, T_ER_3
 
-    rt60s = (0.5, 1.0, 3.0)
+    rt60s = (T_ER_1, T_ER_2, T_ER_3)
     buses = (wet_a, wet_b, wet_c)
     if states is None:
         states = {}

@@ -282,6 +282,31 @@ class TestBatchedRendererParity:
                     np.asarray(bv), sv[:n], atol=2e-4,
                     err_msg=f"bus {name} mismatch at block {blk}")
 
+    def test_nan_params_in_rejected_source_do_not_poison_buses(self):
+        """Regression: NaN/Inf params of an invalid source must not leak
+        into other sources' output through the cross-source bus sums."""
+        import jax.numpy as jnp
+        cfg = PlaneverbDSPConfig(max_callback_length=64)
+        s, n = 2, 64
+        state = init_state(s)
+        audio = jnp.ones((s, n, 2), jnp.float32)
+        target = SourceParams(
+            occlusion=jnp.array([0.8, np.nan], jnp.float32),
+            wet_gain=jnp.array([0.5, np.inf], jnp.float32),
+            rt60=jnp.array([0.9, np.nan], jnp.float32),
+            lowpass=jnp.array([8000.0, 1e30], jnp.float32),
+            direction=jnp.tile(jnp.array([[1.0, 0.0]]), (s, 1)),
+            position=jnp.zeros((s, 2)), forward=jnp.zeros((s, 2)),
+            directivity=jnp.zeros((s, 2)), pattern=jnp.zeros(s, jnp.int32))
+        (dry, a, b, c), new_state = render_block(
+            cfg, audio, target, state, jnp.zeros(3),
+            jnp.array([1.0, 0.0, 0.0]))
+        for name, bus in (("dry", dry), ("a", a), ("b", b), ("c", c)):
+            assert np.isfinite(np.asarray(bus)).all(), name
+        assert np.abs(np.asarray(dry)).max() > 0  # valid source still renders
+        assert np.isfinite(np.asarray(
+            jnp.concatenate([new_state.lpf_y1, new_state.lpf_y2]))).all()
+
     def test_rejected_source_is_silent_and_frozen(self):
         import jax.numpy as jnp
         cfg = PlaneverbDSPConfig(max_callback_length=64)
