@@ -325,7 +325,7 @@ def simulate_tiled(params: GridParams, beta, refl, pulse,
         dry_n=params.dry_gain_samples, wet_n=params.wet_gain_samples,
         npx=npx, npy=npy)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     cell_shape = jax.ShapeDtypeStruct((npx, npy), jnp.float32)
     state_shape = jax.ShapeDtypeStruct((2, npx + 2 * k, npy), jnp.float32)
 
@@ -485,7 +485,7 @@ def simulate_moments_tiled(params: GridParams, beta, refl, pulse,
         bx=bx, k=k, t_real=T, dry_n=params.dry_gain_samples,
         schro_off=params.schroeder_offset_samples, n_rounds=n_rounds)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     cell_shape = jax.ShapeDtypeStruct((npx, npy), jnp.float32)
     s0, s1, _edc = pl.pallas_call(
         kernel,

@@ -95,12 +95,38 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def ascii_plot(y: np.ndarray, lo: float, hi: float, width: int = 72,
+               height: int = 12) -> str:
+    """Render samples as an ASCII line plot (the editor's IR plot,
+    Editor.cpp:449-477, without ImGui). Buckets columns by max magnitude."""
+    y = np.asarray(y, np.float64)
+    n = len(y)
+    cols = np.zeros(width)
+    for c in range(width):
+        seg = y[c * n // width:max(c * n // width + 1, (c + 1) * n // width)]
+        cols[c] = seg[np.argmax(np.abs(seg))] if len(seg) else 0.0
+    span = hi - lo or 1.0
+    rows = np.clip(((cols - lo) / span * (height - 1)).round().astype(int),
+                   0, height - 1)
+    canvas = [[" "] * width for _ in range(height)]
+    for c, r in enumerate(rows):
+        canvas[height - 1 - r][c] = "*"
+    return "\n".join("".join(row) for row in canvas)
+
+
 def cmd_ir(args) -> int:
     from planeverb_tpu.sandbox.wav import write_wav
 
     sx, sz = _xy(args.source[0])  # fail fast, before the sim
     ctx = _run_context(args)
     ir = ctx.get_impulse_response(sx, sz)
+    if args.plot:
+        peak = float(np.abs(ir).max()) or 1.0
+        print(f"impulse response, linear [{-peak:.3g}, {peak:.3g}]:")
+        print(ascii_plot(ir, -peak, peak))
+        db = 20.0 * np.log10(np.maximum(np.abs(ir) / peak, 1e-6))
+        print("impulse response, dB [-120, 0]:")
+        print(ascii_plot(db, -120.0, 0.0))
     if args.output.endswith(".csv"):
         with open(args.output, "w") as f:
             f.write("sample,pressure\n")
@@ -283,6 +309,8 @@ def main(argv=None) -> int:
     common(p)
     p.add_argument("--source", action="append", required=True)
     p.add_argument("-o", "--output", default="ir.wav")
+    p.add_argument("--plot", action="store_true",
+                   help="print ASCII linear+dB IR plots (editor analog)")
     p.set_defaults(fn=cmd_ir)
 
     p = sub.add_parser("render", help="render a wav through the DSP pipeline")

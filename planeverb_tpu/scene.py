@@ -184,6 +184,22 @@ DEMO_SCENES = {
         (0.0, 5.0, 1.0, 10.0, 0.969536),
         (10.0, 5.0, 1.0, 10.0, 0.969536),
     ]),
+    # 4-wall room with an interior baffle (DemoFiles/SmallRoomScene.pv)
+    "SmallRoomScene": _scene("SmallRoomScene", [
+        (3.4, 5.0, 6.18, 1.0, 0.969536),
+        (5.88, 11.24, 10.69, 1.0, 0.969536),
+        (0.28, 8.19, 1.0, 6.92, 0.969536),
+        (11.38, 8.14, 1.0, 6.49, 0.969536),
+        (9.49, 5.0, 3.37, 1.0, 0.969536),
+    ]),
+    # Unity-scene replication test (DemoFiles/UnityReplicationTest.pv)
+    "UnityReplicationTest": _scene("UnityReplicationTest", [
+        (10.0, 5.0, 0.9, 0.9, 0.85),
+        (5.0, 1.98, 7.99, 1.0, 0.85),
+        (1.51, 7.58, 1.0, 10.58, 0.85),
+        (8.57, 5.76, 1.0, 6.93, 0.85),
+        (13.82, 8.71, 9.86, 1.0, 0.85),
+    ]),
     # 18-box floor plan (FloorPlanScene.pv)
     "FloorPlanScene": _scene("FloorPlanScene", [
         (7.0, 16.0, 8.0, 1.0, 0.9),

@@ -68,11 +68,22 @@ class TestCli:
         out_path = str(tmp_path / "ir.csv")
         rc = main(["ir", "SmallRoom", "--listener", "5,5",
                    "--source", "6.5,5", "--resolution", "275",
-                   "-o", out_path])
+                   "-o", out_path, "--plot"])
         assert rc == 0
         lines = open(out_path).read().strip().splitlines()
         assert lines[0] == "sample,pressure"
         assert len(lines) > 100
+        out = capsys.readouterr().out
+        assert "linear" in out and "dB [-120, 0]" in out and "*" in out
+
+    def test_ascii_plot_shape(self):
+        from planeverb_tpu.sandbox.cli import ascii_plot
+
+        y = np.sin(np.linspace(0, 6.28, 1000))
+        s = ascii_plot(y, -1.0, 1.0, width=40, height=8)
+        rows = s.splitlines()
+        assert len(rows) == 8 and all(len(r) == 40 for r in rows)
+        assert sum(r.count("*") for r in rows) == 40
 
     def test_render_native_and_python_agree(self, tmp_path, capsys):
         t = np.arange(4410) / 44100.0

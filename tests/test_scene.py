@@ -27,10 +27,11 @@ def test_loads_reference_format():
 def test_demo_scene_inventory():
     for name in ("SmallRoom", "BigRoom", "HugeRoom", "Shoebox", "SingleWall",
                  "MiddleWallScene", "DirectionTester", "ExampleProject",
-                 "FloorPlanScene"):
+                 "FloorPlanScene", "SmallRoomScene", "UnityReplicationTest"):
         assert name in DEMO_SCENES
     assert len(demo_scene("SmallRoom")) == 4
     assert len(demo_scene("FloorPlanScene")) == 18
+    assert len(demo_scene("UnityReplicationTest")) == 5
 
 
 class TestHeadSlice:
