@@ -34,7 +34,8 @@ import numpy as np
 
 from planeverb_tpu.config import BoundaryType, GridParams
 
-__all__ = ["FdtdResult", "fdtd_step", "simulate", "admittance"]
+__all__ = ["FdtdResult", "fdtd_step", "simulate", "admittance",
+           "stencil_coefficients", "coefficients_from_fields", "fdtd_step_folded"]
 
 
 class FdtdResult(NamedTuple):
@@ -59,58 +60,109 @@ def admittance(reflection: jax.Array) -> jax.Array:
     return (1.0 - reflection) / (1.0 + reflection)
 
 
-def fdtd_step(p, vx, vy, beta, Y, courant: float, gx: int, gy: int,
-              absorbing: bool = True):
-    """One fused FDTD timestep. Returns (p, vx, vy) post-update, post-edge-ABC.
+def stencil_coefficients(beta, Y, b_xm, y_xm, b_ym, y_ym, gi, gj,
+                         gx: int, gy: int, absorbing: bool = True):
+    """Fold wall admittance AND the outer-edge impedance ABC into six static
+    per-cell coefficients, so each velocity update is three multiply-adds:
 
-    beta is the air flag (1 air / 0 wall) as float32; Y the admittance field.
-    gx, gy are the analysis-grid dims (nx-1, ny-1), static.
+        air = v - C * (p - p_m)
+        v'  = A * air + B * p + D * p_m
+
+    At every cell at most one of the reference's update paths is active
+    (interior / wall-left / wall-right / edge ABC, FDTD.cpp:143-223), and the
+    gating masks are exact 0/1 floats, so this factoring is bit-identical to
+    evaluating the branchy form (products with 0/±1 are exact; adding a
+    signed zero to the single live term is exact).
+
+    Args:
+      beta, Y: [.., ..] air flags and admittance (possibly tile-padded).
+      b_xm/y_xm/b_ym/y_ym: beta/Y shifted one cell back along x/y (zeros
+        shifted in at the global edge) — built by the caller because the
+        shift differs per backend (pad, concatenate, or ppermute halo).
+      gi, gj: *global* integer cell coordinates per array slot.
+      gx, gy: analysis-grid dims (edge rows/cols of the update, static).
     """
+    w_x = (b_xm - beta) * (beta * y_xm + b_xm * Y)
+    a_x = beta * b_xm
+    bc_x = w_x * beta
+    d_x = w_x * b_xm
+    w_y = (b_ym - beta) * (beta * y_ym + b_ym * Y)
+    a_y = beta * b_ym
+    bc_y = w_y * beta
+    d_y = w_y * b_ym
+
+    row0 = gi == 0
+    rowg = gi == gx
+    col0 = gj == 0
+    colg = gj == gy
+    if absorbing:
+        # first-order impedance ABC: v = -p on the leading edge, v = +p_m on
+        # the trailing edge, masked to the in-grid span (FDTD.cpp:201-223)
+        in_gy = (gj < gy).astype(jnp.float32)
+        in_gx = (gi < gx).astype(jnp.float32)
+        eb_x, ed_x = -in_gy, in_gy
+        eb_y, ed_y = -in_gx, in_gx
+    else:
+        # rigid (fully reflecting) outer walls: v = 0. The reference declares
+        # pv_ReflectingBoundary but never implements it (PvTypes.h:33-36).
+        zero = jnp.zeros_like(beta)
+        eb_x = ed_x = eb_y = ed_y = zero
+    a_x = jnp.where(row0 | rowg, 0.0, a_x)
+    b_x = jnp.where(row0, eb_x, jnp.where(rowg, 0.0, bc_x))
+    d_x = jnp.where(rowg, ed_x, jnp.where(row0, 0.0, d_x))
+    a_y = jnp.where(col0 | colg, 0.0, a_y)
+    b_y = jnp.where(col0, eb_y, jnp.where(colg, 0.0, bc_y))
+    d_y = jnp.where(colg, ed_y, jnp.where(col0, 0.0, d_y))
+    return a_x, b_x, d_x, a_y, b_y, d_y
+
+
+def coefficients_from_fields(beta, Y, gx: int, gy: int, absorbing: bool):
+    """stencil_coefficients for the single-array layout (array coordinates
+    are global coordinates; backward shifts are zero-padded slices)."""
+    b_xm = jnp.pad(beta[:-1], ((1, 0), (0, 0)))
+    y_xm = jnp.pad(Y[:-1], ((1, 0), (0, 0)))
+    b_ym = jnp.pad(beta[:, :-1], ((0, 0), (1, 0)))
+    y_ym = jnp.pad(Y[:, :-1], ((0, 0), (1, 0)))
+    gi = jax.lax.broadcasted_iota(jnp.int32, beta.shape, 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, beta.shape, 1)
+    return stencil_coefficients(beta, Y, b_xm, y_xm, b_ym, y_ym, gi, gj,
+                                gx, gy, absorbing)
+
+
+def fdtd_step_folded(p, vx, vy, beta, coefs, courant: float):
+    """One fused FDTD timestep with prefolded coefficients. Returns
+    (p, vx, vy) post-update, post-edge-ABC (the ABC lives in ``coefs``)."""
+    a_x, b_x, d_x, a_y, b_y, d_y = coefs
+
     # -- pressure update: p = beta * (p - C * div v)   (FDTD.cpp:124-141)
     vx_xp = jnp.pad(vx[1:], ((0, 1), (0, 0)))
     vy_yp = jnp.pad(vy[:, 1:], ((0, 0), (0, 1)))
     div = (vx_xp - vx) + (vy_yp - vy)
     p = beta * (p - courant * div)
 
-    # -- vx update with rigid-wall beta factors and admittance cross terms
-    #    neighbor is (x-1, y)                           (FDTD.cpp:143-170)
+    # -- velocity updates incl. walls and edge ABC     (FDTD.cpp:143-223)
     p_xm = jnp.pad(p[:-1], ((1, 0), (0, 0)))
-    b_xm = jnp.pad(beta[:-1], ((1, 0), (0, 0)))
-    y_xm = jnp.pad(Y[:-1], ((1, 0), (0, 0)))
     air = vx - courant * (p - p_xm)
-    y_bound = beta * y_xm + b_xm * Y
-    wall = y_bound * (p_xm * b_xm + p * beta)
-    vx_new = beta * b_xm * air + (b_xm - beta) * wall
+    vx = a_x * air + b_x * p + d_x * p_xm
 
-    # -- vy update, neighbor (x, y-1)                   (FDTD.cpp:172-199)
     p_ym = jnp.pad(p[:, :-1], ((0, 0), (1, 0)))
-    b_ym = jnp.pad(beta[:, :-1], ((0, 0), (1, 0)))
-    y_ym = jnp.pad(Y[:, :-1], ((0, 0), (1, 0)))
     air = vy - courant * (p - p_ym)
-    y_bound = beta * y_ym + b_ym * Y
-    wall = y_bound * (p_ym * b_ym + p * beta)
-    vy_new = beta * b_ym * air + (b_ym - beta) * wall
-
-    # -- outer edge boundary condition                  (FDTD.cpp:201-223)
-    ys = jnp.arange(p.shape[1])
-    xs = jnp.arange(p.shape[0])
-    if absorbing:
-        # first-order impedance ABC: v = ±p on the four edges
-        top = jnp.where(ys < gy, -p[0], 0.0)
-        bot = jnp.where(ys < gy, p[gx - 1], 0.0)
-        left = jnp.where(xs < gx, -p[:, 0], 0.0)
-        right = jnp.where(xs < gx, p[:, gy - 1], 0.0)
-    else:
-        # rigid (fully reflecting) outer walls: v = 0. The reference declares
-        # pv_ReflectingBoundary but never implements it (PvTypes.h:33-36).
-        top = jnp.zeros_like(p[0])
-        bot = jnp.zeros_like(p[0])
-        left = jnp.zeros_like(p[:, 0])
-        right = jnp.zeros_like(p[:, 0])
-
-    vx = vx_new.at[0].set(top).at[gx].set(bot)
-    vy = vy_new.at[:, 0].set(left).at[:, gy].set(right)
+    vy = a_y * air + b_y * p + d_y * p_ym
     return p, vx, vy
+
+
+def fdtd_step(p, vx, vy, beta, Y, courant: float, gx: int, gy: int,
+              absorbing: bool = True):
+    """One fused FDTD timestep. Returns (p, vx, vy) post-update, post-edge-ABC.
+
+    beta is the air flag (1 air / 0 wall) as float32; Y the admittance field.
+    gx, gy are the analysis-grid dims (nx-1, ny-1), static. Convenience
+    wrapper: refolds the static coefficients every call — inside a timestep
+    loop, fold once with ``stencil_coefficients`` and use
+    :func:`fdtd_step_folded`.
+    """
+    coefs = coefficients_from_fields(beta, Y, gx, gy, absorbing)
+    return fdtd_step_folded(p, vx, vy, beta, coefs, courant)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -133,6 +185,7 @@ def simulate(params: GridParams, beta, reflection, pulse,
     absorbing = params.boundary_type == BoundaryType.ABSORBING
 
     Y = admittance(reflection)
+    coefs = coefficients_from_fields(beta, Y, gx, gy, absorbing)
 
     p0 = jnp.zeros((nx, ny), jnp.float32)
     v0 = jnp.zeros((nx, ny), jnp.float32)
@@ -142,7 +195,7 @@ def simulate(params: GridParams, beta, reflection, pulse,
     def step(carry, xt):
         p, vx, vy, onset, fx, fy = carry
         t, pulse_t = xt
-        p, vx, vy = fdtd_step(p, vx, vy, beta, Y, courant, gx, gy, absorbing)
+        p, vx, vy = fdtd_step_folded(p, vx, vy, beta, coefs, courant)
 
         # streaming onset: first threshold crossing of the *recorded* pressure
         tf = t.astype(jnp.float32)

@@ -51,12 +51,12 @@ def pad_tile(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _kernel(scal_ref, beta_ref, bxm_ref, bym_ref,
-            bbx_ref, wx_ref, bby_ref, wy_ref,
+def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
+            ay_ref, by_ref, dy_ref,
             pulse_ref, rec_ref, onset_ref, fx_ref, fy_ref,
             ed_ref, ew_ref, et_ref,
             p_ref, vx_ref, vy_ref,
-            *, courant, thr, src_dir_n, gx, gy, absorbing, npx, npy,
+            *, courant, thr, src_dir_n, npx, npy,
             chunk, t_real, dry_n, wet_n):
     c = pl.program_id(0)
 
@@ -74,15 +74,14 @@ def _kernel(scal_ref, beta_ref, bxm_ref, bym_ref,
         et_ref[:] = zeros
 
     beta = beta_ref[:]
-    b_xm = bxm_ref[:]
-    b_ym = bym_ref[:]
-    # static per-geometry stencil coefficients (see _simulate_impl): bb_* =
-    # beta*b_*m, w_* = (b_*m - beta) * (beta*y_*m + b_*m*Y). Exact folding:
-    # the beta masks are 0/1, so the folded factors are 0/±1 multiplies.
-    bb_x = bbx_ref[:]
-    w_x = wx_ref[:]
-    bb_y = bby_ref[:]
-    w_y = wy_ref[:]
+    # static per-geometry stencil coefficients folding walls + edge ABC
+    # (ops/fdtd.py::stencil_coefficients): v' = A*air + B*p + D*p_m
+    a_x = ax_ref[:]
+    b_x = bx_ref[:]
+    d_x = dx_ref[:]
+    a_y = ay_ref[:]
+    b_y = by_ref[:]
+    d_y = dy_ref[:]
     gi = jax.lax.broadcasted_iota(jnp.int32, (npx, npy), 0)
     gj = jax.lax.broadcasted_iota(jnp.int32, (npx, npy), 1)
     lix = scal_ref[0, 0]
@@ -101,46 +100,36 @@ def _kernel(scal_ref, beta_ref, bxm_ref, bym_ref,
         div = (vx_xp - vx) + (vy_yp - vy)
         p = beta * (p - courant * div)
 
-        # -- velocities with admittance wall terms    (FDTD.cpp:143-199)
+        # -- velocities: walls + edge ABC prefolded   (FDTD.cpp:143-223)
         p_xm = jnp.concatenate([zrow, p[:-1]], axis=0)
         air = vx - courant * (p - p_xm)
-        vx_new = bb_x * air + w_x * (p_xm * b_xm + p * beta)
+        vx = a_x * air + b_x * p + d_x * p_xm
 
         p_ym = jnp.concatenate([zcol, p[:, :-1]], axis=1)
         air = vy - courant * (p - p_ym)
-        vy_new = bb_y * air + w_y * (p_ym * b_ym + p * beta)
+        vy = a_y * air + b_y * p + d_y * p_ym
 
-        # -- outer-edge impedance ABC as index masks  (FDTD.cpp:201-223)
-        if absorbing:
-            top = jnp.where(gj < gy, -p, 0.0)
-            bot = jnp.where(gj < gy, p_xm, 0.0)
-            left = jnp.where(gi < gx, -p, 0.0)
-            right = jnp.where(gi < gx, p_ym, 0.0)
-        else:
-            top = bot = jnp.zeros((npx, npy), jnp.float32)
-            left = right = jnp.zeros((npx, npy), jnp.float32)
-        vx = jnp.where(gi == 0, top, jnp.where(gi == gx, bot, vx_new))
-        vy = jnp.where(gj == 0, left, jnp.where(gj == gy, right, vy_new))
-
-        # -- streaming onset + flux, masked off in the T padding tail
+        # -- streaming onset / flux / windowed energies. The per-step window
+        # predicates compare the *running* onset against scalar-side bounds
+        # (tf and the window widths are small-integer-valued f32, so the
+        # rearranged comparisons are exact; see ops/analyzer.py::Moments).
+        # live (= not in the T padding tail) folds into the scalar bound.
         tf = t.astype(jnp.float32)
         live = tf < float(t_real)
-        onset = jnp.minimum(
-            onset, jnp.where(live & (jnp.abs(p) > thr), tf, jnp.inf))
-        m = ((tf < onset + src_dir_n) & live).astype(jnp.float32)
-        fx = fx + m * p * vx
-        fy = fy + m * p * vy
+        t_on = jnp.where(live, tf, jnp.inf)              # scalar
+        c_flux = jnp.where(live, tf - src_dir_n, jnp.inf)
+        c_dry = jnp.where(live, tf - float(dry_n), jnp.inf)
+        c_wet_lo = jnp.where(live, tf - float(dry_n) - 1.0, -jnp.inf)
+        c_wet_hi = tf - float(dry_n) - 1.0 - float(wet_n)
 
-        # -- streaming windowed energies (analyzer moments; the window
-        # predicates are exact with the *running* onset, see
-        # ops/analyzer.py::Moments)
+        onset = jnp.minimum(onset, jnp.where(jnp.abs(p) > thr, t_on, jnp.inf))
+        mp = jnp.where(onset > c_flux, p, 0.0)
+        fx = fx + mp * vx
+        fy = fy + mp * vy
         sq = p * p
-        direct_end = onset + float(dry_n)
-        wet_start = direct_end + 1.0
-        ed = ed + sq * ((tf < direct_end) & live).astype(jnp.float32)
-        ew = ew + sq * ((tf >= wet_start) & (tf < wet_start + float(wet_n))
-                        & live).astype(jnp.float32)
-        et = et + sq * live.astype(jnp.float32)
+        ed = jnp.where(onset > c_dry, ed + sq, ed)
+        ew = jnp.where((onset <= c_wet_lo) & (onset > c_wet_hi), ew + sq, ew)
+        et = jnp.where(live, et + sq, et)
 
         # -- record (pre-injection), then inject at the listener cell
         rec_ref[k] = p
@@ -230,20 +219,12 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     refl_p = jnp.zeros((npx, npy), jnp.float32).at[:nx, :ny].set(refl)
     Y = admittance(refl_p)
 
-    # static backward-shifted geometry (value at i-1 / j-1, zero row/col 0)
-    zrow = jnp.zeros((1, npy), jnp.float32)
-    zcol = jnp.zeros((npx, 1), jnp.float32)
-    b_xm = jnp.concatenate([zrow, beta_p[:-1]], axis=0)
-    y_xm = jnp.concatenate([zrow, Y[:-1]], axis=0)
-    b_ym = jnp.concatenate([zcol, beta_p[:, :-1]], axis=1)
-    y_ym = jnp.concatenate([zcol, Y[:, :-1]], axis=1)
-    # folded static stencil coefficients (exact: beta masks are 0/1, so the
-    # folded products are 0/±1 multiplies — rounding identical to the
-    # unfolded per-step expressions in ops/fdtd.py)
-    bb_x = beta_p * b_xm
-    w_x = (b_xm - beta_p) * (beta_p * y_xm + b_xm * Y)
-    bb_y = beta_p * b_ym
-    w_y = (b_ym - beta_p) * (beta_p * y_ym + b_ym * Y)
+    # static stencil coefficients folding walls + edge ABC — exact: the beta
+    # masks are 0/1, so at most one term is live per cell and the folded
+    # factors are 0/±1 multiplies (see ops/fdtd.py::stencil_coefficients)
+    a_x, b_x, d_x, a_y, b_y, d_y = fdtd_scan.coefficients_from_fields(
+        beta_p, Y, params.grid_x, params.grid_y,
+        params.boundary_type == BoundaryType.ABSORBING)
 
     scal = jnp.array([listener_ix, listener_iy],
                      dtype=jnp.int32).reshape(1, 2)
@@ -255,8 +236,6 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         courant=float(params.courant),
         thr=float(params.constants.audible_threshold_gain),
         src_dir_n=float(params.source_dir_samples),
-        gx=params.grid_x, gy=params.grid_y,
-        absorbing=params.boundary_type == BoundaryType.ABSORBING,
         npx=npx, npy=npy, chunk=chunk, t_real=T,
         dry_n=params.dry_gain_samples, wet_n=params.wet_gain_samples)
 
@@ -293,7 +272,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scal, beta_p, b_xm, b_ym, bb_x, w_x, bb_y, w_y, pulse2)
+    )(scal, beta_p, a_x, b_x, d_x, a_y, b_y, d_y, pulse2)
 
     # crop the T padding (rows past T hold harmless continued simulation,
     # but the analyzer's windows assume exactly response_length rows)

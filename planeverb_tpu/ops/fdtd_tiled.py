@@ -126,7 +126,12 @@ def _tiled_kernel(scal_ref, pulse_ref, beta_hbm, y_hbm,
         for dma in geo:
             dma.wait()
 
-        # ---- local k-step advance (identical math to the fused kernel)
+        # ---- local k-step advance (identical math to the fused kernel):
+        # walls + edge ABC folded into static coefficients. Window-edge
+        # shift artifacts only ever contaminate the outermost halo row per
+        # step, which the k-step halo argument already discards.
+        from planeverb_tpu.ops.fdtd import stencil_coefficients
+
         beta = bw[:]
         Y = yw[:]
         zrow = jnp.zeros((1, npy), jnp.float32)
@@ -135,10 +140,8 @@ def _tiled_kernel(scal_ref, pulse_ref, beta_hbm, y_hbm,
         y_xm = jnp.concatenate([zrow, Y[:-1]], axis=0)
         b_ym = jnp.concatenate([zcol, beta[:, :-1]], axis=1)
         y_ym = jnp.concatenate([zcol, Y[:, :-1]], axis=1)
-        bb_x = beta * b_xm
-        w_x = (b_xm - beta) * (beta * y_xm + b_xm * Y)
-        bb_y = beta * b_ym
-        w_y = (b_ym - beta) * (beta * y_ym + b_ym * Y)
+        a_x, b_x, d_x, a_y, b_y, d_y = stencil_coefficients(
+            beta, Y, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy, absorbing)
 
         lix = scal_ref[0, 0]
         liy = scal_ref[0, 1]
@@ -156,41 +159,33 @@ def _tiled_kernel(scal_ref, pulse_ref, beta_hbm, y_hbm,
 
             p_xm = jnp.concatenate([zrow, p[:-1]], axis=0)
             air = vx - courant * (p - p_xm)
-            vx_new = bb_x * air + w_x * (p_xm * b_xm + p * beta)
+            vx = a_x * air + b_x * p + d_x * p_xm
 
             p_ym = jnp.concatenate([zcol, p[:, :-1]], axis=1)
             air = vy - courant * (p - p_ym)
-            vy_new = bb_y * air + w_y * (p_ym * b_ym + p * beta)
+            vy = a_y * air + b_y * p + d_y * p_ym
 
-            if absorbing:
-                top = jnp.where(gj < gy, -p, 0.0)
-                bot = jnp.where(gj < gy, p_xm, 0.0)
-                left = jnp.where(gi < gx, -p, 0.0)
-                right = jnp.where(gi < gx, p_ym, 0.0)
-            else:
-                top = bot = jnp.zeros_like(p)
-                left = right = jnp.zeros_like(p)
-            vx = jnp.where(gi == 0, top,
-                           jnp.where(gi == gx, bot, vx_new))
-            vy = jnp.where(gj == 0, left,
-                           jnp.where(gj == gy, right, vy_new))
-
+            # streaming moments on the band interior; scalar-side window
+            # bounds exactly as in fdtd_pallas._kernel
             tf = t.astype(jnp.float32)
             live = tf < float(t_real)
+            t_on = jnp.where(live, tf, jnp.inf)
+            c_flux = jnp.where(live, tf - src_dir_n, jnp.inf)
+            c_dry = jnp.where(live, tf - float(dry_n), jnp.inf)
+            c_wet_lo = jnp.where(live, tf - float(dry_n) - 1.0, -jnp.inf)
+            c_wet_hi = tf - float(dry_n) - 1.0 - float(wet_n)
+
             p_int = p[interior]
             onset = jnp.minimum(
-                onset, jnp.where(live & (jnp.abs(p_int) > thr), tf, jnp.inf))
-            m = ((tf < onset + src_dir_n) & live).astype(jnp.float32)
-            fx = fx + m * p_int * vx[interior]
-            fy = fy + m * p_int * vy[interior]
+                onset, jnp.where(jnp.abs(p_int) > thr, t_on, jnp.inf))
+            mp = jnp.where(onset > c_flux, p_int, 0.0)
+            fx = fx + mp * vx[interior]
+            fy = fy + mp * vy[interior]
             sq = p_int * p_int
-            direct_end = onset + float(dry_n)
-            wet_start = direct_end + 1.0
-            ed = ed + sq * ((tf < direct_end) & live).astype(jnp.float32)
-            ew = ew + sq * ((tf >= wet_start)
-                            & (tf < wet_start + float(wet_n))
-                            & live).astype(jnp.float32)
-            et = et + sq * live.astype(jnp.float32)
+            ed = jnp.where(onset > c_dry, ed + sq, ed)
+            ew = jnp.where((onset <= c_wet_lo) & (onset > c_wet_hi),
+                           ew + sq, ew)
+            et = jnp.where(live, et + sq, et)
 
             rec_t[s] = p_int
             p = p + src * pulse_ref[t, 0]

@@ -101,19 +101,18 @@ def simulate_sharded(params: GridParams, beta, refl, pulse,
         gi = (px * bx + jax.lax.broadcasted_iota(jnp.int32, (bx, by), 0))
         gj = (py * by + jax.lax.broadcasted_iota(jnp.int32, (bx, by), 1))
 
-        # static backward halos for the wall admittance cross terms
+        # static backward halos for the wall admittance cross terms, folded
+        # (with the edge ABC) into per-cell stencil coefficients once
+        from planeverb_tpu.ops.fdtd import stencil_coefficients
+
         b_xm = _shift_from_prev(beta, "x", 0)
         y_xm = _shift_from_prev(Y, "x", 0)
         b_ym = _shift_from_prev(beta, "y", 1)
         y_ym = _shift_from_prev(Y, "y", 1)
+        a_x, b_x, d_x, a_y, b_y, d_y = stencil_coefficients(
+            beta, Y, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy, absorbing)
 
         src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
-        row0 = (gi == 0)
-        row_gx = (gi == gx)
-        col0 = (gj == 0)
-        col_gy = (gj == gy)
-        in_gy = (gj < gy)
-        in_gx = (gi < gx)
 
         p0 = jnp.zeros((bx, by), jnp.float32)
         onset0 = jnp.full((bx, by), jnp.inf, jnp.float32)
@@ -128,29 +127,14 @@ def simulate_sharded(params: GridParams, beta, refl, pulse,
             div = (vx_xp - vx) + (vy_yp - vy)
             p = beta * (p - courant * div)
 
-            # -- velocities with admittance walls        (FDTD.cpp:143-199)
+            # -- velocities: walls + edge ABC prefolded  (FDTD.cpp:143-223)
             p_xm = _shift_from_prev(p, "x", 0)
             air = vx - courant * (p - p_xm)
-            y_bound = beta * y_xm + b_xm * Y
-            wall = y_bound * (p_xm * b_xm + p * beta)
-            vx_new = beta * b_xm * air + (b_xm - beta) * wall
+            vx = a_x * air + b_x * p + d_x * p_xm
 
             p_ym = _shift_from_prev(p, "y", 1)
             air = vy - courant * (p - p_ym)
-            y_bound = beta * y_ym + b_ym * Y
-            wall = y_bound * (p_ym * b_ym + p * beta)
-            vy_new = beta * b_ym * air + (b_ym - beta) * wall
-
-            # -- outer edge ABC as global-index masks    (FDTD.cpp:201-223)
-            if absorbing:
-                top = jnp.where(in_gy, -p, 0.0)
-                bot = jnp.where(in_gy, p_xm, 0.0)
-                left = jnp.where(in_gx, -p, 0.0)
-                right = jnp.where(in_gx, p_ym, 0.0)
-            else:
-                top = bot = left = right = jnp.zeros_like(p)
-            vx = jnp.where(row0, top, jnp.where(row_gx, bot, vx_new))
-            vy = jnp.where(col0, left, jnp.where(col_gy, right, vy_new))
+            vy = a_y * air + b_y * p + d_y * p_ym
 
             # -- streaming onset + directivity flux (ops/fdtd.py semantics)
             tf = t.astype(jnp.float32)
@@ -258,6 +242,8 @@ def simulate_sharded_wide(params: GridParams, beta, refl, pulse,
         gj = (py * by - k
               + jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * k, by + 2 * k), 1))
 
+        from planeverb_tpu.ops.fdtd import stencil_coefficients
+
         beta_e = _exchange_halo(beta, k)
         y_e = _exchange_halo(Y, k)
         zrow = jnp.zeros((1, by + 2 * k), jnp.float32)
@@ -266,14 +252,13 @@ def simulate_sharded_wide(params: GridParams, beta, refl, pulse,
         y_xm = jnp.concatenate([zrow, y_e[:-1]], axis=0)
         b_ym = jnp.concatenate([zcol, beta_e[:, :-1]], axis=1)
         y_ym = jnp.concatenate([zcol, y_e[:, :-1]], axis=1)
+        # walls + edge ABC folded once on the k-extended block; the in-block
+        # shift artifacts on the ghost fringe rows are discarded by the
+        # k-step halo argument, same as the unfolded form was
+        a_x, b_x, d_x, a_y, b_y, d_y = stencil_coefficients(
+            beta_e, y_e, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy, absorbing)
 
         src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
-        row0 = (gi == 0)
-        row_gx = (gi == gx)
-        col0 = (gj == 0)
-        col_gy = (gj == gy)
-        in_gy = (gj < gy)
-        in_gx = (gi < gx)
         interior = (slice(k, k + bx), slice(k, k + by))
 
         z_int = jnp.zeros((bx, by), jnp.float32)
@@ -297,26 +282,11 @@ def simulate_sharded_wide(params: GridParams, beta, refl, pulse,
 
                 p_xm = jnp.concatenate([zrow, p[:-1]], axis=0)
                 air = vx - courant * (p - p_xm)
-                y_bound = beta_e * y_xm + b_xm * y_e
-                wall = y_bound * (p_xm * b_xm + p * beta_e)
-                vx_new = beta_e * b_xm * air + (b_xm - beta_e) * wall
+                vx = a_x * air + b_x * p + d_x * p_xm
 
                 p_ym = jnp.concatenate([zcol, p[:, :-1]], axis=1)
                 air = vy - courant * (p - p_ym)
-                y_bound = beta_e * y_ym + b_ym * y_e
-                wall = y_bound * (p_ym * b_ym + p * beta_e)
-                vy_new = beta_e * b_ym * air + (b_ym - beta_e) * wall
-
-                if absorbing:
-                    top = jnp.where(in_gy, -p, 0.0)
-                    bot = jnp.where(in_gy, p_xm, 0.0)
-                    left = jnp.where(in_gx, -p, 0.0)
-                    right = jnp.where(in_gx, p_ym, 0.0)
-                else:
-                    top = bot = jnp.zeros_like(p)
-                    left = right = jnp.zeros_like(p)
-                vx = jnp.where(row0, top, jnp.where(row_gx, bot, vx_new))
-                vy = jnp.where(col0, left, jnp.where(col_gy, right, vy_new))
+                vy = a_y * air + b_y * p + d_y * p_ym
 
                 tf = t.astype(jnp.float32)
                 live = tf < float(T)
