@@ -9,7 +9,9 @@ same sharding with XLA inserting the few collectives it needs.
 """
 
 from planeverb_tpu.parallel.mesh import grid_mesh, pad_to_mesh
+from planeverb_tpu.parallel.multihost import (init_distributed,
+                                              multihost_grid_mesh)
 from planeverb_tpu.parallel.solver import simulate_sharded, simulate_sharded_wide
 
 __all__ = ["grid_mesh", "pad_to_mesh", "simulate_sharded",
-           "simulate_sharded_wide"]
+           "simulate_sharded_wide", "init_distributed", "multihost_grid_mesh"]

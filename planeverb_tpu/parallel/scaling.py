@@ -1,0 +1,87 @@
+"""Halo-exchange scaling-efficiency harness (BASELINE.md north-star metric).
+
+Measures wall-clock per simulation pass for the sharded solver on growing
+device counts over the same *global* grid (strong scaling), reporting
+
+    efficiency(n) = t(1 device) / (n * t(n devices))
+
+On a real TPU slice/pod this is the ">=80% halo-exchange scaling efficiency"
+number from BASELINE.md; on the 8-device virtual CPU mesh it exercises the
+identical program (collectives included) and validates the harness itself —
+virtual-device timings share one physical socket, so treat those numbers as
+plumbing checks, not performance.
+
+Usage:  python -m planeverb_tpu scale [--grid 50] [--resolution 275] ...
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+__all__ = ["measure_scaling"]
+
+
+def _median_pass_seconds(fn, reps: int = 3) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def measure_scaling(params, beta, refl, pulse, lix, liy,
+                    device_counts=None, halo: int = 8, reps: int = 3):
+    """Strong-scaling sweep of simulate_sharded_wide over sub-meshes.
+
+    Returns a list of row dicts: {devices, mesh, wall_s, cell_updates_per_s,
+    efficiency_vs_1}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from planeverb_tpu.parallel.mesh import factor_mesh, grid_mesh, pad_to_mesh
+    from planeverb_tpu.parallel.solver import simulate_sharded_wide
+
+    all_devices = jax.devices()
+    if device_counts is None:
+        device_counts = []
+        n = 1
+        while n <= len(all_devices):
+            device_counts.append(n)
+            n *= 2
+
+    updates = params.nx * params.ny * params.response_length
+    rows = []
+    t1 = None
+    for n in device_counts:
+        mesh = grid_mesh(all_devices[:n], factor_mesh(n))
+        nx_pad, ny_pad = pad_to_mesh(params.nx, params.ny, mesh)
+        bp = jnp.zeros((nx_pad, ny_pad), jnp.float32).at[
+            :params.nx, :params.ny].set(jnp.asarray(beta))
+        rp = jnp.zeros((nx_pad, ny_pad), jnp.float32).at[
+            :params.nx, :params.ny].set(jnp.asarray(refl))
+        pu = jnp.asarray(pulse)
+        k = min(halo, nx_pad // mesh.shape["x"], ny_pad // mesh.shape["y"])
+
+        def one_pass():
+            res = simulate_sharded_wide(params, bp, rp, pu,
+                                        jnp.int32(lix), jnp.int32(liy),
+                                        mesh, nx_pad, ny_pad, halo=k)
+            jax.block_until_ready(res.onset)
+
+        one_pass()  # compile + warm
+        t = _median_pass_seconds(one_pass, reps)
+        if t1 is None:
+            t1 = t * n  # normalize in case the sweep starts above 1 device
+        rows.append({
+            "devices": n,
+            "mesh": [mesh.shape["x"], mesh.shape["y"]],
+            "halo": k,
+            "wall_s": round(t, 5),
+            "cell_updates_per_s": round(updates / t),
+            "efficiency_vs_1": round(t1 / (n * t), 4),
+        })
+    return rows

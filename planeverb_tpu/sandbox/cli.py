@@ -270,6 +270,27 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_scale(args) -> int:
+    # strong-scaling sweep of the sharded solver (BASELINE.md efficiency
+    # metric); on a dev box run under
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual mesh
+    import json
+
+    from planeverb_tpu.config import compute_grid_params, gaussian_pulse
+    from planeverb_tpu.ops import voxelize
+    from planeverb_tpu.parallel.scaling import measure_scaling
+
+    params = compute_grid_params(_config(args))
+    scene = _load_scene(args.scene)
+    beta, refl = voxelize.voxelize_np(params, scene.boxes if scene else [])
+    lix, liy = params.world_to_cell(*_xy(args.listener))
+    rows = measure_scaling(params, beta, refl, gaussian_pulse(params),
+                           lix, liy, halo=args.halo)
+    for row in rows:
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_scenes(args) -> int:
     from planeverb_tpu.scene import save_pv
 
@@ -353,6 +374,13 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8471)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("scale", help="strong-scaling sweep of the sharded "
+                                     "solver over growing device counts")
+    common(p)
+    p.add_argument("--halo", type=int, default=8,
+                   help="multi-step halo width (exchange every k steps)")
+    p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")
     p.add_argument("--export", metavar="DIR", default=None,

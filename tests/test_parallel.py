@@ -155,3 +155,86 @@ def test_wide_halo_rejects_oversized_halo():
                               _pad(refl, nx_pad, ny_pad), pulse,
                               jnp.int32(lix), jnp.int32(liy), mesh,
                               nx_pad, ny_pad, halo=50)
+
+
+class _FakeDev:
+    def __init__(self, pid, i):
+        self.process_index = pid
+        self.id = i
+
+    def __repr__(self):
+        return f"d{self.process_index}.{self.id}"
+
+
+class TestMultihost:
+    def test_layout_single_process_matches_factorization(self):
+        from planeverb_tpu.parallel.multihost import layout_by_process
+
+        arr = layout_by_process(jax.devices())
+        assert arr.shape == factor_mesh(8)
+
+    def test_layout_groups_process_rows_contiguously(self):
+        from planeverb_tpu.parallel.multihost import layout_by_process
+
+        # 4 hosts x 4 devices: y-neighbors must be same-process (ICI only)
+        devs = [_FakeDev(p, i) for p in range(4) for i in range(4)]
+        arr = layout_by_process(devs)
+        assert arr.shape == (8, 2)
+        for row in arr:
+            assert len({d.process_index for d in row}) == 1
+        # x rows grouped: process changes at most once between adjacent rows
+        pids = [row[0].process_index for row in arr]
+        assert pids == sorted(pids)
+
+    def test_layout_rejects_dcn_crossing_y(self):
+        from planeverb_tpu.parallel.multihost import layout_by_process
+
+        devs = [_FakeDev(p, i) for p in range(2) for i in range(2)]
+        with pytest.raises(ValueError, match="DCN"):
+            layout_by_process(devs, shape=(1, 4))
+
+    def test_layout_rejects_uneven_processes(self):
+        from planeverb_tpu.parallel.multihost import layout_by_process
+
+        devs = [_FakeDev(0, 0), _FakeDev(0, 1), _FakeDev(1, 2)]
+        with pytest.raises(ValueError, match="uneven"):
+            layout_by_process(devs)
+
+    def test_multihost_mesh_runs_sharded_solver(self):
+        from planeverb_tpu.parallel.multihost import multihost_grid_mesh
+
+        mesh = multihost_grid_mesh()
+        p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+        nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+        res = simulate_sharded(
+            p, jnp.asarray(_pad(beta, nx_pad, ny_pad)),
+            jnp.asarray(_pad(refl, nx_pad, ny_pad)),
+            jnp.asarray(pulse), jnp.int32(lix), jnp.int32(liy),
+            mesh, nx_pad, ny_pad)
+        ref = fdtd.simulate(p, jnp.asarray(beta), jnp.asarray(refl),
+                            jnp.asarray(pulse), jnp.int32(lix),
+                            jnp.int32(liy))
+        np.testing.assert_allclose(
+            np.asarray(res.pressure)[:, :p.nx, :p.ny],
+            np.asarray(ref.pressure), atol=1e-6)
+
+    def test_init_distributed_single_process_noop(self):
+        from planeverb_tpu.parallel.multihost import init_distributed
+
+        init_distributed(num_processes=1)  # must not raise or init anything
+
+    def test_scaling_harness_rows(self):
+        from planeverb_tpu.parallel.scaling import measure_scaling
+
+        cfg = PlaneverbConfig(grid_size_x=6.0, grid_size_y=6.0,
+                              grid_resolution=275)
+        p = compute_grid_params(cfg)
+        beta, refl = voxelize.voxelize_np(p, [])
+        pulse = oracle.gaussian_pulse(p)
+        lix, liy = p.world_to_cell(3.0, 3.0)
+        rows = measure_scaling(p, beta, refl, pulse, lix, liy,
+                               device_counts=[1, 2], halo=4, reps=1)
+        assert [r["devices"] for r in rows] == [1, 2]
+        assert rows[0]["efficiency_vs_1"] == 1.0
+        assert all(r["wall_s"] > 0 and r["cell_updates_per_s"] > 0
+                   for r in rows)
