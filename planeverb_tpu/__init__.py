@@ -23,6 +23,7 @@ from planeverb_tpu.config import (CONSTANTS, MATERIALS, BoundaryType,
                                   Resolution, compute_grid_params)
 from planeverb_tpu.core.context import Context
 from planeverb_tpu.scene import AABB, Scene, demo_scene, load_pv, save_pv
+from planeverb_tpu.session import load_session, save_session
 from planeverb_tpu.types import PlaneverbOutput
 
 __version__ = "0.1.0"
@@ -31,5 +32,5 @@ __all__ = [
     "AABB", "BoundaryType", "CONSTANTS", "Context", "MATERIALS",
     "PlaneverbConfig", "PlaneverbDSPConfig", "PlaneverbOutput", "Resolution",
     "Scene", "compute_grid_params", "demo_scene", "load_pv", "save_pv",
-    "__version__",
+    "load_session", "save_session", "__version__",
 ]

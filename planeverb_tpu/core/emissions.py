@@ -49,3 +49,13 @@ class EmissionRegistry:
     def snapshot(self) -> dict[int, tuple[float, float, float]]:
         with self._lock:
             return {i: p for i, p in enumerate(self._positions) if p is not None}
+
+    def restore(self, items: list[tuple[int, tuple[float, float, float]]]) -> None:
+        """Replace contents with explicit (eid, position) pairs, preserving
+        ids (session checkpoint/resume, planeverb_tpu.session)."""
+        with self._lock:
+            n = max((eid for eid, _ in items), default=-1) + 1
+            self._positions = [None] * n
+            for eid, pos in items:
+                self._positions[eid] = tuple(pos)
+            self._free = [i for i in range(n) if self._positions[i] is None]

@@ -68,6 +68,22 @@ class GeometryRegistry:
         with self._lock:
             return self._version, [self._boxes[g] for g in self._order]
 
+    def items(self) -> list[tuple[int, AABB]]:
+        """(gid, box) pairs in paint order."""
+        with self._lock:
+            return [(g, self._boxes[g]) for g in self._order]
+
+    def restore(self, items: list[tuple[int, AABB]]) -> None:
+        """Replace contents with explicit (gid, box) pairs in paint order,
+        preserving ids (session checkpoint/resume, planeverb_tpu.session)."""
+        with self._lock:
+            self._boxes = {gid: box for gid, box in items}
+            self._order = [gid for gid, _ in items]
+            self._next = max(self._boxes, default=-1) + 1
+            self._free = [g for g in range(self._next)
+                          if g not in self._boxes]
+            self._version += 1
+
     def load_scene(self, scene: Scene) -> list[int]:
         return [self.add(b) for b in scene]
 

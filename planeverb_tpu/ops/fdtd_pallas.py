@@ -346,13 +346,13 @@ _VMEM_BUDGET_BYTES = 12 << 20  # leave headroom below the ~16 MB/core VMEM
 
 
 def _kernel_vmem_bytes(params: GridParams, chunk: int = 16) -> int:
-    """Estimated VMEM footprint of the fused kernel: 8 field inputs + 3
-    scratch + 6 cell outputs resident, plus a double-buffered chunk-sized
-    recording block."""
+    """Estimated VMEM footprint of the fused kernel: 7 field inputs (beta +
+    6 stencil coefficients) + 3 scratch + 6 cell outputs resident, plus a
+    double-buffered chunk-sized recording block."""
     npx = pad_tile(params.nx, _SUBLANE)
     npy = pad_tile(params.ny, _LANE)
     cell = npx * npy * 4
-    return cell * (8 + 3 + 6) + 2 * chunk * cell
+    return cell * (7 + 3 + 6) + 2 * chunk * cell
 
 
 def fits_vmem(params: GridParams, chunk: int = 16) -> bool:
