@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from planeverb_tpu.config import GridParams
 from planeverb_tpu.ops import analyzer, fdtd
 
-__all__ = ["simulate_listeners", "analyze_listeners", "simulate_scenes",
-           "simulate_slices"]
+__all__ = ["simulate_listeners", "simulate_listeners_auto",
+           "analyze_listeners", "simulate_scenes", "simulate_slices"]
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -40,6 +40,32 @@ def simulate_listeners(params: GridParams, beta, refl, pulse,
     """
     sim = lambda ix, iy: fdtd.simulate(params, beta, refl, pulse, ix, iy)
     return jax.vmap(sim)(listener_ix, listener_iy)
+
+
+def simulate_listeners_auto(params: GridParams, beta, refl, pulse,
+                            listener_ix, listener_iy) -> fdtd.FdtdResult:
+    """Batched listeners on the fastest per-platform path.
+
+    On TPU the vmapped lax.scan solver re-pays its per-step dispatch cost,
+    so the batch runs as a sequence of fused VMEM-resident kernels
+    (lax.map) instead; elsewhere vmap-of-scan batches best. Per-listener
+    values match simulate_listeners bit-for-bit; on the TPU path the
+    spatial dims come back tile-padded (crop to params.nx/ny, or pass
+    straight to the analyzer, which only reads the real corner).
+    """
+    from planeverb_tpu.ops.fdtd_pallas import fits_vmem, simulate_pallas
+
+    if jax.devices()[0].platform == "tpu" and fits_vmem(params):
+        @jax.jit
+        def run(beta, refl, pulse, lix, liy):
+            return jax.lax.map(
+                lambda ixy: simulate_pallas(params, beta, refl, pulse,
+                                            ixy[0], ixy[1]),
+                jnp.stack([lix, liy], axis=1))
+
+        return run(beta, refl, pulse, listener_ix, listener_iy)
+    return simulate_listeners(params, beta, refl, pulse,
+                              listener_ix, listener_iy)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -79,3 +79,14 @@ def test_slice_stack():
     e_low = float(np.sum(np.asarray(res.pressure[0, :, px, py]) ** 2))
     e_high = float(np.sum(np.asarray(res.pressure[1, :, px, py]) ** 2))
     assert e_high > 2.0 * e_low
+
+
+def test_listeners_auto_off_tpu_matches_vmap():
+    p, beta, refl, pulse = _setup()
+    cells = [p.world_to_cell(5.0, 5.0), p.world_to_cell(4.0, 6.0)]
+    ixs = jnp.asarray([c[0] for c in cells], jnp.int32)
+    iys = jnp.asarray([c[1] for c in cells], jnp.int32)
+    auto = batch.simulate_listeners_auto(p, beta, refl, pulse, ixs, iys)
+    ref = batch.simulate_listeners(p, beta, refl, pulse, ixs, iys)
+    np.testing.assert_array_equal(np.asarray(auto.pressure),
+                                  np.asarray(ref.pressure))
