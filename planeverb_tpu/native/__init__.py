@@ -22,30 +22,42 @@ import numpy as np
 
 from planeverb_tpu.config import PlaneverbDSPConfig
 
-__all__ = ["NativeDSPContext", "NativeReverb", "load_library",
-           "build_library"]
+__all__ = ["NativeDSPContext", "NativeReverb", "NativeEngineClient",
+           "load_library", "build_library", "load_engine_client_library",
+           "build_engine_client_library"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "pv_dsp.cpp")
+_ENGINE_SRC = os.path.join(_DIR, "src", "pv_engine_client.cpp")
 _BUILD = os.path.join(_DIR, "build")
 _LIB: ctypes.CDLL | None = None
+_ENGINE_LIB: ctypes.CDLL | None = None
 
 
-def _src_tag() -> str:
-    with open(_SRC, "rb") as f:
+def _src_tag(src: str = _SRC) -> str:
+    with open(src, "rb") as f:
         return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _compile(src: str, stem: str, force: bool = False) -> str:
+    os.makedirs(_BUILD, exist_ok=True)
+    lib_path = os.path.join(_BUILD, f"{stem}-{_src_tag(src)}.so")
+    if force or not os.path.exists(lib_path):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", lib_path, src],
+            check=True, capture_output=True)
+    return lib_path
 
 
 def build_library(force: bool = False) -> str:
     """Compile pv_dsp.cpp into a shared library; returns its path."""
-    os.makedirs(_BUILD, exist_ok=True)
-    lib_path = os.path.join(_BUILD, f"libpvdsp-{_src_tag()}.so")
-    if force or not os.path.exists(lib_path):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-o", lib_path, _SRC],
-            check=True, capture_output=True)
-    return lib_path
+    return _compile(_SRC, "libpvdsp", force)
+
+
+def build_engine_client_library(force: bool = False) -> str:
+    """Compile pv_engine_client.cpp (the C ABI acoustics binding)."""
+    return _compile(_ENGINE_SRC, "libpvengine", force)
 
 
 def load_library() -> ctypes.CDLL:
@@ -77,6 +89,116 @@ def load_library() -> ctypes.CDLL:
                                       ctypes.c_int]
     _LIB = lib
     return lib
+
+
+class _OutputC(ctypes.Structure):
+    _fields_ = [("occlusion", ctypes.c_float), ("wetGain", ctypes.c_float),
+                ("rt60", ctypes.c_float), ("lowpass", ctypes.c_float),
+                ("directionX", ctypes.c_float),
+                ("directionY", ctypes.c_float),
+                ("sourceDirectivityX", ctypes.c_float),
+                ("sourceDirectivityY", ctypes.c_float)]
+
+
+def load_engine_client_library() -> ctypes.CDLL:
+    global _ENGINE_LIB
+    if _ENGINE_LIB is not None:
+        return _ENGINE_LIB
+    lib = ctypes.CDLL(build_engine_client_library())
+    f32, i32, void_p = ctypes.c_float, ctypes.c_int, ctypes.c_void_p
+    lib.PlaneverbConnect.restype = void_p
+    lib.PlaneverbConnect.argtypes = [ctypes.c_char_p, i32]
+    lib.PlaneverbDisconnect.argtypes = [void_p]
+    lib.PlaneverbInit.restype = i32
+    lib.PlaneverbInit.argtypes = [void_p, f32, f32, i32, f32, f32, i32]
+    lib.PlaneverbExit.argtypes = [void_p]
+    lib.PlaneverbEmit.restype = i32
+    lib.PlaneverbEmit.argtypes = [void_p, f32, f32, f32]
+    lib.PlaneverbUpdateEmission.argtypes = [void_p, i32, f32, f32, f32]
+    lib.PlaneverbEndEmission.argtypes = [void_p, i32]
+    lib.PlaneverbAddGeometry.restype = i32
+    lib.PlaneverbAddGeometry.argtypes = [void_p, f32, f32, f32, f32, f32]
+    lib.PlaneverbUpdateGeometry.argtypes = [void_p, i32, f32, f32, f32,
+                                            f32, f32]
+    lib.PlaneverbRemoveGeometry.argtypes = [void_p, i32]
+    lib.PlaneverbSetListenerPosition.argtypes = [void_p, f32, f32, f32]
+    lib.PlaneverbStep.restype = i32
+    lib.PlaneverbStep.argtypes = [void_p]
+    lib.PlaneverbWaitIteration.restype = i32
+    lib.PlaneverbWaitIteration.argtypes = [void_p, i32, f32]
+    lib.PlaneverbGetOutput.restype = i32
+    lib.PlaneverbGetOutput.argtypes = [void_p, i32, ctypes.POINTER(_OutputC)]
+    _ENGINE_LIB = lib
+    return lib
+
+
+class NativeEngineClient:
+    """The C ABI acoustics binding driven from Python (test/demo harness).
+
+    Game engines load libpvengine*.so directly and call the flat exports
+    (PlaneverbUnity.cpp analog, see src/pv_engine_client.cpp); this class
+    exercises exactly that path — every call below crosses the C ABI."""
+
+    def __init__(self, host: str, port: int):
+        self._lib = load_engine_client_library()
+        self._h = self._lib.PlaneverbConnect(host.encode(), port)
+        if not self._h:
+            raise ConnectionError(f"connect to {host}:{port} failed")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.PlaneverbDisconnect(self._h)
+            self._h = None
+
+    def init(self, size_x: float, size_y: float, resolution: int = 275,
+             offset_x: float = 0.0, offset_y: float = 0.0,
+             background: bool = True) -> int:
+        return self._lib.PlaneverbInit(self._h, size_x, size_y, resolution,
+                                       offset_x, offset_y, int(background))
+
+    def exit(self) -> None:
+        self._lib.PlaneverbExit(self._h)
+
+    def emit(self, x, y, z) -> int:
+        return self._lib.PlaneverbEmit(self._h, x, y, z)
+
+    def update_emission(self, eid, x, y, z) -> None:
+        self._lib.PlaneverbUpdateEmission(self._h, eid, x, y, z)
+
+    def end_emission(self, eid) -> None:
+        self._lib.PlaneverbEndEmission(self._h, eid)
+
+    def add_geometry(self, x, y, width, height, absorption) -> int:
+        return self._lib.PlaneverbAddGeometry(self._h, x, y, width, height,
+                                              absorption)
+
+    def update_geometry(self, gid, x, y, width, height, absorption) -> None:
+        self._lib.PlaneverbUpdateGeometry(self._h, gid, x, y, width, height,
+                                          absorption)
+
+    def remove_geometry(self, gid) -> None:
+        self._lib.PlaneverbRemoveGeometry(self._h, gid)
+
+    def set_listener_position(self, x, y, z) -> None:
+        self._lib.PlaneverbSetListenerPosition(self._h, x, y, z)
+
+    def step(self) -> int:
+        return self._lib.PlaneverbStep(self._h)
+
+    def wait_iteration(self, n: int, timeout_s: float = 60.0) -> bool:
+        return bool(self._lib.PlaneverbWaitIteration(self._h, n, timeout_s))
+
+    def get_output(self, eid: int):
+        """Returns a dict of params, or None when invalid (occlusion -1
+        sentinel)."""
+        out = _OutputC()
+        if not self._lib.PlaneverbGetOutput(self._h, eid, ctypes.byref(out)):
+            return None
+        return {"occlusion": out.occlusion, "wet_gain": out.wetGain,
+                "rt60": out.rt60, "lowpass": out.lowpass,
+                "direction": (out.directionX, out.directionY),
+                "source_directivity": (out.sourceDirectivityX,
+                                       out.sourceDirectivityY)}
 
 
 class NativeReverb:

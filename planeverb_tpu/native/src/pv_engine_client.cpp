@@ -1,0 +1,287 @@
+// C ABI acoustics binding — the game-engine integration surface.
+//
+// The reference exposes the acoustics engine to Unity as flat extern "C"
+// exports (/root/reference ProjectPlaneverb/PlaneverbUnityPluginAPI/
+// PlaneverbUnity.cpp:25-136). Here the engine is a Python/JAX host process
+// driving a TPU, reachable over the newline-delimited JSON TCP protocol of
+// planeverb_tpu.server. This library gives engines the same flat C surface:
+// each export marshals its scalars into one JSON request, sends it, and
+// parses the scalar reply — no Python, no JSON library, no dependencies
+// beyond POSIX sockets.
+//
+// Exports mirror PlaneverbUnity.cpp: Init/Exit, Emit/UpdateEmission/
+// EndEmission, Add/Update/RemoveGeometry, SetListenerPosition, GetOutput,
+// plus Step/WaitIteration for engines that drive the loop explicitly.
+// All functions take an opaque client handle from PlaneverbConnect (the
+// reference uses a process-global singleton; a handle keeps multiple
+// engine instances possible).
+
+#include <cerrno>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+namespace {
+
+struct Client {
+    int fd = -1;
+    std::string rxbuf;
+};
+
+// --- tiny line-oriented socket I/O -------------------------------------
+
+bool send_all(Client* c, const std::string& line) {
+    const char* p = line.data();
+    size_t n = line.size();
+    while (n > 0) {
+        ssize_t w = ::send(c->fd, p, n, 0);
+        if (w <= 0) return false;
+        p += w;
+        n -= static_cast<size_t>(w);
+    }
+    return true;
+}
+
+bool recv_line(Client* c, std::string* out) {
+    for (;;) {
+        size_t nl = c->rxbuf.find('\n');
+        if (nl != std::string::npos) {
+            out->assign(c->rxbuf, 0, nl);
+            c->rxbuf.erase(0, nl + 1);
+            return true;
+        }
+        char buf[4096];
+        ssize_t r = ::recv(c->fd, buf, sizeof buf, 0);
+        if (r <= 0) return false;
+        c->rxbuf.append(buf, static_cast<size_t>(r));
+    }
+}
+
+bool roundtrip(void* handle, const std::string& req, std::string* resp) {
+    Client* c = static_cast<Client*>(handle);
+    if (c == nullptr || c->fd < 0) return false;
+    if (!send_all(c, req + "\n")) return false;
+    return recv_line(c, resp);
+}
+
+// --- minimal JSON scalar extraction (protocol replies are flat) ----------
+
+// finds `"key":` and parses the number (or first two numbers of an array)
+bool find_key(const std::string& s, const char* key, size_t* pos) {
+    std::string needle = std::string("\"") + key + "\":";
+    size_t at = s.find(needle);
+    if (at == std::string::npos) return false;
+    *pos = at + needle.size();
+    return true;
+}
+
+bool json_number(const std::string& s, const char* key, double* out) {
+    size_t pos;
+    if (!find_key(s, key, &pos)) return false;
+    while (pos < s.size() && (s[pos] == ' ' || s[pos] == '[')) pos++;
+    char* end = nullptr;
+    double v = strtod(s.c_str() + pos, &end);
+    if (end == s.c_str() + pos) return false;
+    *out = v;
+    return true;
+}
+
+bool json_pair(const std::string& s, const char* key, double* a, double* b) {
+    size_t pos;
+    if (!find_key(s, key, &pos)) return false;
+    while (pos < s.size() && (s[pos] == ' ' || s[pos] == '[')) pos++;
+    char* end = nullptr;
+    *a = strtod(s.c_str() + pos, &end);
+    if (end == s.c_str() + pos) return false;
+    pos = static_cast<size_t>(end - s.c_str());
+    while (pos < s.size() && (s[pos] == ',' || s[pos] == ' ')) pos++;
+    *b = strtod(s.c_str() + pos, &end);
+    return end != s.c_str() + pos;
+}
+
+bool json_true(const std::string& s, const char* key) {
+    size_t pos;
+    if (!find_key(s, key, &pos)) return false;
+    while (pos < s.size() && s[pos] == ' ') pos++;
+    return s.compare(pos, 4, "true") == 0;
+}
+
+std::string fmt(double v) {
+    char buf[40];
+    snprintf(buf, sizeof buf, "%.9g", v);
+    return buf;
+}
+
+int reply_id(void* c, const std::string& req) {
+    std::string resp;
+    if (!roundtrip(c, req, &resp) || !json_true(resp, "ok")) return -1;
+    double id;
+    return json_number(resp, "id", &id) ? static_cast<int>(id) : -1;
+}
+
+void fire(void* c, const std::string& req) {
+    std::string resp;
+    roundtrip(c, req, &resp);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Mirrors PlaneverbOutput (reference PvTypes.h:63-71 / PlaneverbUnity.cpp
+// GetOutput marshalling): occlusion -1 = invalid sentinel.
+struct PlaneverbOutputC {
+    float occlusion;
+    float wetGain;
+    float rt60;
+    float lowpass;
+    float directionX;
+    float directionY;
+    float sourceDirectivityX;
+    float sourceDirectivityY;
+};
+
+void* PlaneverbConnect(const char* host, int port) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return nullptr;
+    int one = 1;
+    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof one);
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    if (inet_pton(AF_INET, host, &addr.sin_addr) != 1 ||
+        ::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr) != 0) {
+        ::close(fd);
+        return nullptr;
+    }
+    Client* c = new Client;
+    c->fd = fd;
+    return c;
+}
+
+void PlaneverbDisconnect(void* h) {
+    Client* c = static_cast<Client*>(h);
+    if (c == nullptr) return;
+    std::string resp;
+    roundtrip(h, "{\"cmd\":\"bye\"}", &resp);
+    if (c->fd >= 0) ::close(c->fd);
+    delete c;
+}
+
+// returns the simulation sampling rate fs, or -1 on failure.
+// background != 0 spawns the server-side simulation loop (the reference's
+// BackgroundProcessor); 0 leaves stepping to PlaneverbStep so reads never
+// race an in-flight iteration's older listener snapshot.
+int PlaneverbInit(void* c, float sizeX, float sizeY, int resolution,
+                  float offsetX, float offsetY, int background) {
+    std::string resp;
+    std::string req = std::string("{\"cmd\":\"init\",\"grid_size_x\":") +
+        fmt(sizeX) + ",\"grid_size_y\":" + fmt(sizeY) +
+        ",\"grid_resolution\":" + fmt(resolution) +
+        ",\"grid_offset_x\":" + fmt(offsetX) +
+        ",\"grid_offset_y\":" + fmt(offsetY) +
+        ",\"background\":" + (background ? "true" : "false") + "}";
+    if (!roundtrip(c, req, &resp) || !json_true(resp, "ok")) return -1;
+    double fs;
+    return json_number(resp, "fs", &fs) ? static_cast<int>(fs) : -1;
+}
+
+void PlaneverbExit(void* c) { fire(c, "{\"cmd\":\"exit\"}"); }
+
+int PlaneverbEmit(void* c, float x, float y, float z) {
+    return reply_id(c, std::string("{\"cmd\":\"emit\",\"x\":") + fmt(x) +
+                       ",\"y\":" + fmt(y) + ",\"z\":" + fmt(z) + "}");
+}
+
+void PlaneverbUpdateEmission(void* c, int id, float x, float y, float z) {
+    fire(c, std::string("{\"cmd\":\"update_emission\",\"id\":") + fmt(id) +
+            ",\"x\":" + fmt(x) + ",\"y\":" + fmt(y) + ",\"z\":" + fmt(z) + "}");
+}
+
+void PlaneverbEndEmission(void* c, int id) {
+    fire(c, std::string("{\"cmd\":\"end_emission\",\"id\":") + fmt(id) + "}");
+}
+
+int PlaneverbAddGeometry(void* c, float x, float y, float width, float height,
+                         float absorption) {
+    return reply_id(c, std::string("{\"cmd\":\"add_geometry\",\"x\":") +
+                       fmt(x) + ",\"y\":" + fmt(y) + ",\"width\":" +
+                       fmt(width) + ",\"height\":" + fmt(height) +
+                       ",\"absorption\":" + fmt(absorption) + "}");
+}
+
+void PlaneverbUpdateGeometry(void* c, int id, float x, float y, float width,
+                             float height, float absorption) {
+    fire(c, std::string("{\"cmd\":\"update_geometry\",\"id\":") + fmt(id) +
+            ",\"x\":" + fmt(x) + ",\"y\":" + fmt(y) + ",\"width\":" +
+            fmt(width) + ",\"height\":" + fmt(height) +
+            ",\"absorption\":" + fmt(absorption) + "}");
+}
+
+void PlaneverbRemoveGeometry(void* c, int id) {
+    fire(c, std::string("{\"cmd\":\"remove_geometry\",\"id\":") + fmt(id) + "}");
+}
+
+void PlaneverbSetListenerPosition(void* c, float x, float y, float z) {
+    fire(c, std::string("{\"cmd\":\"set_listener_position\",\"x\":") + fmt(x) +
+            ",\"y\":" + fmt(y) + ",\"z\":" + fmt(z) + "}");
+}
+
+// runs one synchronous sim+analyze iteration; returns the iteration count
+int PlaneverbStep(void* c) {
+    std::string resp;
+    if (!roundtrip(c, "{\"cmd\":\"step\"}", &resp) || !json_true(resp, "ok"))
+        return -1;
+    double it;
+    return json_number(resp, "iteration", &it) ? static_cast<int>(it) : -1;
+}
+
+// blocks until the background loop reaches iteration n (1 = first results)
+int PlaneverbWaitIteration(void* c, int n, float timeout_s) {
+    std::string resp;
+    std::string req = std::string("{\"cmd\":\"wait_iteration\",\"n\":") +
+        fmt(n) + ",\"timeout\":" + fmt(timeout_s) + "}";
+    if (!roundtrip(c, req, &resp)) return 0;
+    return json_true(resp, "ok") ? 1 : 0;
+}
+
+// returns 1 and fills *out when the emission has valid params, else 0
+// (occlusion -1 sentinel, zero-filled — PlaneverbUnity.cpp GetOutput +
+// PlaneverbDSPUnity.cpp:102-110 NaN validation analog)
+int PlaneverbGetOutput(void* c, int id, PlaneverbOutputC* out) {
+    memset(out, 0, sizeof *out);
+    out->occlusion = -1.0f;
+    std::string resp;
+    std::string req = std::string("{\"cmd\":\"get_output\",\"id\":") +
+        fmt(id) + "}";
+    if (!roundtrip(c, req, &resp) || !json_true(resp, "ok") ||
+        !json_true(resp, "valid"))
+        return 0;
+    double occ, wet, rt, lp, dx, dy, sx, sy;
+    if (!json_number(resp, "occlusion", &occ) ||
+        !json_number(resp, "wet_gain", &wet) ||
+        !json_number(resp, "rt60", &rt) ||
+        !json_number(resp, "lowpass", &lp) ||
+        !json_pair(resp, "direction", &dx, &dy) ||
+        !json_pair(resp, "source_directivity", &sx, &sy))
+        return 0;
+    out->occlusion = static_cast<float>(occ);
+    out->wetGain = static_cast<float>(wet);
+    out->rt60 = static_cast<float>(rt);
+    out->lowpass = static_cast<float>(lp);
+    out->directionX = static_cast<float>(dx);
+    out->directionY = static_cast<float>(dy);
+    out->sourceDirectivityX = static_cast<float>(sx);
+    out->sourceDirectivityY = static_cast<float>(sy);
+    return 1;
+}
+
+}  // extern "C"

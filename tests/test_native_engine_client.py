@@ -1,0 +1,95 @@
+"""C ABI acoustics binding (native/src/pv_engine_client.cpp) end-to-end.
+
+Every call crosses the compiled C library exactly as a game engine would
+(PlaneverbUnity.cpp surface analog); results are cross-checked against the
+Python client on the same server.
+"""
+
+import numpy as np
+import pytest
+
+from planeverb_tpu.server import EngineClient, EngineServer
+
+
+@pytest.fixture()
+def server():
+    srv = EngineServer(port=0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture()
+def cabi(server):
+    from planeverb_tpu.native import NativeEngineClient
+
+    host, port = server.address
+    c = NativeEngineClient(host, port)
+    yield c
+    c.close()
+
+
+def test_full_lifecycle_through_c_abi(cabi, server):
+    # manual stepping: no background loop racing the reads below
+    fs = cabi.init(10.0, 10.0, resolution=275, background=False)
+    assert fs > 1000
+
+    walls = [(5.0, 2.5, 10.0, 1.0), (5.0, 7.5, 10.0, 1.0),
+             (2.5, 5.0, 1.0, 10.0), (7.5, 5.0, 1.0, 10.0)]
+    gids = [cabi.add_geometry(x, y, w, h, 0.969536) for x, y, w, h in walls]
+    assert gids == list(range(4))
+
+    cabi.set_listener_position(5.0, 0.0, 5.0)
+    eid = cabi.emit(6.5, 0.0, 5.0)
+    assert eid == 0
+    assert cabi.step() >= 1
+
+    out = cabi.get_output(eid)
+    assert out is not None
+    assert out["occlusion"] > 0 and out["rt60"] > 0.1
+    assert out["direction"][0] > 0.9  # source is +x of the listener
+
+    # cross-check against the Python client on the same engine
+    py = EngineClient(*server.address)
+    ref = py.call("get_output", id=eid)
+    py.close()
+    np.testing.assert_allclose(out["occlusion"], ref["occlusion"], rtol=1e-6)
+    np.testing.assert_allclose(out["rt60"], ref["rt60"], rtol=1e-6)
+    np.testing.assert_allclose(out["direction"], ref["direction"], rtol=1e-5)
+
+    # geometry update/remove + emission lifecycle through the C ABI
+    cabi.update_geometry(gids[0], 5.0, 2.0, 10.0, 1.0, 0.9)
+    cabi.remove_geometry(gids[1])
+    cabi.update_emission(eid, 4.0, 0.0, 5.0)
+    assert cabi.step() >= 2
+    out2 = cabi.get_output(eid)
+    assert out2 is not None and out2["direction"][0] < -0.9  # now -x side
+    cabi.end_emission(eid)
+    assert cabi.get_output(eid) is None  # ended emitter -> invalid sentinel
+    cabi.exit()
+
+
+def test_invalid_before_init_and_unknown_ids(cabi):
+    assert cabi.step() == -1          # not initialized
+    fs = cabi.init(10.0, 10.0, background=False)
+    assert fs > 0
+    assert cabi.get_output(12345) is None
+
+
+def test_connect_refused():
+    from planeverb_tpu.native import NativeEngineClient
+
+    with pytest.raises(ConnectionError):
+        NativeEngineClient("127.0.0.1", 1)  # nothing listens on port 1
+
+
+def test_background_loop_with_wait_iteration(cabi):
+    fs = cabi.init(10.0, 10.0, resolution=275, background=True)
+    assert fs > 1000
+    cabi.set_listener_position(5.0, 0.0, 5.0)
+    eid = cabi.emit(6.5, 0.0, 5.0)
+    # wait for a full iteration that started after the listener update
+    assert cabi.wait_iteration(2, timeout_s=120.0)
+    out = cabi.get_output(eid)
+    assert out is not None and out["occlusion"] > 0
+    cabi.exit()
