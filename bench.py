@@ -21,25 +21,9 @@ import time
 import numpy as np
 
 
-def time_chained(fn, n: int = 10, reps: int = 3) -> float:
-    """Per-pass wall time of fn, measured as a chain of n dependent runs.
-
-    On the tunneled axon backend ``block_until_ready`` returns immediately
-    and per-call device->host readback latency (~25-40 ms) swamps the kernel
-    time, so: fn(eps) must seed its input with eps and return a scalar jax
-    value derived from its output; the chain feeds each output into the next
-    input (forcing sequential device execution, defeating result caching)
-    and fetches once at the end.
-    """
-    best = float("inf")
-    for rep in range(reps):
-        t0 = time.perf_counter()
-        eps = 1e-3 * (rep + 1)
-        for _ in range(n):
-            eps = fn(eps) * 1e-6
-        float(np.asarray(eps))  # single fetch drains the chain
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+from planeverb_tpu.utils.profiling import time_chained  # noqa: E402
+# (chained-dependent-runs timing: honest on the tunneled TPU backend where
+# block_until_ready does not block and identical runs can be relay-cached)
 
 
 def main() -> None:

@@ -50,12 +50,24 @@ class EmissionRegistry:
         with self._lock:
             return {i: p for i, p in enumerate(self._positions) if p is not None}
 
-    def restore(self, items: list[tuple[int, tuple[float, float, float]]]) -> None:
+    def free_ids(self) -> list[int]:
+        """The free-list stack, oldest-freed first (top = last element)."""
+        with self._lock:
+            return list(self._free)
+
+    def restore(self, items: list[tuple[int, tuple[float, float, float]]],
+                free: list[int] | None = None) -> None:
         """Replace contents with explicit (eid, position) pairs, preserving
-        ids (session checkpoint/resume, planeverb_tpu.session)."""
+        ids (session checkpoint/resume, planeverb_tpu.session). ``free``
+        restores the free-list stack order so id reuse after resume matches
+        the uncheckpointed session."""
         with self._lock:
             n = max((eid for eid, _ in items), default=-1) + 1
             self._positions = [None] * n
             for eid, pos in items:
                 self._positions[eid] = tuple(pos)
-            self._free = [i for i in range(n) if self._positions[i] is None]
+            holes = {i for i in range(n) if self._positions[i] is None}
+            if free is not None and set(free) == holes:
+                self._free = list(free)
+            else:
+                self._free = sorted(holes)

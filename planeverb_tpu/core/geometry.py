@@ -73,15 +73,29 @@ class GeometryRegistry:
         with self._lock:
             return [(g, self._boxes[g]) for g in self._order]
 
-    def restore(self, items: list[tuple[int, AABB]]) -> None:
+    def free_ids(self) -> list[int]:
+        """The free-list stack, oldest-freed first (top = last element)."""
+        with self._lock:
+            return list(self._free)
+
+    def restore(self, items: list[tuple[int, AABB]],
+                free: list[int] | None = None) -> None:
         """Replace contents with explicit (gid, box) pairs in paint order,
-        preserving ids (session checkpoint/resume, planeverb_tpu.session)."""
+        preserving ids (session checkpoint/resume, planeverb_tpu.session).
+
+        ``free`` restores the free-list stack order so id reuse after resume
+        matches the uncheckpointed session; without it, freed ids are reused
+        in ascending order.
+        """
         with self._lock:
             self._boxes = {gid: box for gid, box in items}
             self._order = [gid for gid, _ in items]
             self._next = max(self._boxes, default=-1) + 1
-            self._free = [g for g in range(self._next)
-                          if g not in self._boxes]
+            holes = {g for g in range(self._next) if g not in self._boxes}
+            if free is not None and set(free) == holes:
+                self._free = list(free)
+            else:
+                self._free = sorted(holes)
             self._version += 1
 
     def load_scene(self, scene: Scene) -> list[int]:

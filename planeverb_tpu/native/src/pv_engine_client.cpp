@@ -24,6 +24,7 @@
 #include <string>
 
 #include <arpa/inet.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
@@ -42,7 +43,9 @@ bool send_all(Client* c, const std::string& line) {
     const char* p = line.data();
     size_t n = line.size();
     while (n > 0) {
-        ssize_t w = ::send(c->fd, p, n, 0);
+        // MSG_NOSIGNAL: a dropped server must fail the call, not deliver
+        // SIGPIPE into the host game-engine process
+        ssize_t w = ::send(c->fd, p, n, MSG_NOSIGNAL);
         if (w <= 0) return false;
         p += w;
         n -= static_cast<size_t>(w);
@@ -150,18 +153,27 @@ struct PlaneverbOutputC {
 };
 
 void* PlaneverbConnect(const char* host, int port) {
-    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    // getaddrinfo: accepts hostnames ("localhost") and IPv4/IPv6 literals
+    char portstr[16];
+    snprintf(portstr, sizeof portstr, "%d", port);
+    addrinfo hints{};
+    hints.ai_family = AF_UNSPEC;
+    hints.ai_socktype = SOCK_STREAM;
+    addrinfo* res = nullptr;
+    if (getaddrinfo(host, portstr, &hints, &res) != 0 || res == nullptr)
+        return nullptr;
+    int fd = -1;
+    for (addrinfo* ai = res; ai != nullptr; ai = ai->ai_next) {
+        fd = ::socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+        if (fd < 0) continue;
+        if (::connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
+        ::close(fd);
+        fd = -1;
+    }
+    freeaddrinfo(res);
     if (fd < 0) return nullptr;
     int one = 1;
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof one);
-    sockaddr_in addr{};
-    addr.sin_family = AF_INET;
-    addr.sin_port = htons(static_cast<uint16_t>(port));
-    if (inet_pton(AF_INET, host, &addr.sin_addr) != 1 ||
-        ::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof addr) != 0) {
-        ::close(fd);
-        return nullptr;
-    }
     Client* c = new Client;
     c->fd = fd;
     return c;

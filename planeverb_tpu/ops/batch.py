@@ -42,6 +42,19 @@ def simulate_listeners(params: GridParams, beta, refl, pulse,
     return jax.vmap(sim)(listener_ix, listener_iy)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _listeners_pallas(params: GridParams, beta, refl, pulse,
+                      listener_ix, listener_iy) -> fdtd.FdtdResult:
+    # module-level jit: the trace cache persists across calls (a per-call
+    # closure would retrace + recompile the Pallas kernel every invocation)
+    from planeverb_tpu.ops.fdtd_pallas import simulate_pallas
+
+    return jax.lax.map(
+        lambda ixy: simulate_pallas(params, beta, refl, pulse,
+                                    ixy[0], ixy[1]),
+        jnp.stack([listener_ix, listener_iy], axis=1))
+
+
 def simulate_listeners_auto(params: GridParams, beta, refl, pulse,
                             listener_ix, listener_iy) -> fdtd.FdtdResult:
     """Batched listeners on the fastest per-platform path.
@@ -53,17 +66,11 @@ def simulate_listeners_auto(params: GridParams, beta, refl, pulse,
     spatial dims come back tile-padded (crop to params.nx/ny, or pass
     straight to the analyzer, which only reads the real corner).
     """
-    from planeverb_tpu.ops.fdtd_pallas import fits_vmem, simulate_pallas
+    from planeverb_tpu.ops.fdtd_pallas import fits_vmem
 
     if jax.devices()[0].platform == "tpu" and fits_vmem(params):
-        @jax.jit
-        def run(beta, refl, pulse, lix, liy):
-            return jax.lax.map(
-                lambda ixy: simulate_pallas(params, beta, refl, pulse,
-                                            ixy[0], ixy[1]),
-                jnp.stack([lix, liy], axis=1))
-
-        return run(beta, refl, pulse, listener_ix, listener_iy)
+        return _listeners_pallas(params, beta, refl, pulse,
+                                 listener_ix, listener_iy)
     return simulate_listeners(params, beta, refl, pulse,
                               listener_ix, listener_iy)
 

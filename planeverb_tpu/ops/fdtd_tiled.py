@@ -42,7 +42,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from planeverb_tpu.config import BoundaryType, GridParams
-from planeverb_tpu.ops.fdtd import FdtdResult, admittance
+from planeverb_tpu.ops.fdtd import (FdtdResult, admittance,
+                                    stencil_coefficients)
 from planeverb_tpu.ops.fdtd_pallas import pad_tile, _LANE, _SUBLANE
 
 __all__ = ["simulate_tiled", "simulate_moments_tiled"]
@@ -130,8 +131,6 @@ def _tiled_kernel(scal_ref, pulse_ref, beta_hbm, y_hbm,
         # walls + edge ABC folded into static coefficients. Window-edge
         # shift artifacts only ever contaminate the outermost halo row per
         # step, which the k-step halo argument already discards.
-        from planeverb_tpu.ops.fdtd import stencil_coefficients
-
         beta = bw[:]
         Y = yw[:]
         zrow = jnp.zeros((1, npy), jnp.float32)

@@ -16,25 +16,23 @@ Usage:  python -m planeverb_tpu scale [--grid 50] [--resolution 275] ...
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
+
+from planeverb_tpu.utils.profiling import time_chained
 
 __all__ = ["measure_scaling"]
 
 
-def _median_pass_seconds(fn, reps: int = 3) -> float:
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
 def measure_scaling(params, beta, refl, pulse, lix, liy,
-                    device_counts=None, halo: int = 8, reps: int = 3):
+                    device_counts=None, halo: int = 8, reps: int = 3,
+                    chain: int = 5):
     """Strong-scaling sweep of simulate_sharded_wide over sub-meshes.
+
+    Timing uses the chained-dependent-runs pattern (utils.profiling.
+    time_chained): each pass perturbs the pulse with the previous pass's
+    output and only the final scalar is fetched, so the numbers stay honest
+    on the tunneled TPU backend where ``block_until_ready`` does not block
+    and identical executions can be served from a relay cache.
 
     Returns a list of row dicts: {devices, mesh, wall_s, cell_updates_per_s,
     efficiency_vs_1}.
@@ -65,15 +63,16 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
             :params.nx, :params.ny].set(jnp.asarray(refl))
         pu = jnp.asarray(pulse)
         k = min(halo, nx_pad // mesh.shape["x"], ny_pad // mesh.shape["y"])
+        qx, qy = params.nx // 2, params.ny // 2
 
-        def one_pass():
-            res = simulate_sharded_wide(params, bp, rp, pu,
+        def one_pass(eps):
+            res = simulate_sharded_wide(params, bp, rp, pu * (1.0 + eps),
                                         jnp.int32(lix), jnp.int32(liy),
                                         mesh, nx_pad, ny_pad, halo=k)
-            jax.block_until_ready(res.onset)
+            return res.pressure[params.response_length - 1, qx, qy]
 
-        one_pass()  # compile + warm
-        t = _median_pass_seconds(one_pass, reps)
+        float(np.asarray(one_pass(0.0)))  # compile + warm
+        t = time_chained(one_pass, n=chain, reps=reps)
         if t1 is None:
             t1 = t * n  # normalize in case the sweep starts above 1 device
         rows.append({

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from planeverb_tpu.config import BoundaryType, GridParams
-from planeverb_tpu.ops.fdtd import FdtdResult, admittance
+from planeverb_tpu.ops.fdtd import (FdtdResult, admittance,
+                                    stencil_coefficients)
 
 __all__ = ["simulate_sharded", "simulate_sharded_wide", "shard_fields"]
 
@@ -103,8 +104,6 @@ def simulate_sharded(params: GridParams, beta, refl, pulse,
 
         # static backward halos for the wall admittance cross terms, folded
         # (with the edge ABC) into per-cell stencil coefficients once
-        from planeverb_tpu.ops.fdtd import stencil_coefficients
-
         b_xm = _shift_from_prev(beta, "x", 0)
         y_xm = _shift_from_prev(Y, "x", 0)
         b_ym = _shift_from_prev(beta, "y", 1)
@@ -241,8 +240,6 @@ def simulate_sharded_wide(params: GridParams, beta, refl, pulse,
               + jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * k, by + 2 * k), 0))
         gj = (py * by - k
               + jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * k, by + 2 * k), 1))
-
-        from planeverb_tpu.ops.fdtd import stencil_coefficients
 
         beta_e = _exchange_halo(beta, k)
         y_e = _exchange_halo(Y, k)

@@ -96,15 +96,20 @@ def cmd_analyze(args) -> int:
 
 
 def ascii_plot(y: np.ndarray, lo: float, hi: float, width: int = 72,
-               height: int = 12) -> str:
+               height: int = 12, envelope: bool = False) -> str:
     """Render samples as an ASCII line plot (the editor's IR plot,
-    Editor.cpp:449-477, without ImGui). Buckets columns by max magnitude."""
+    Editor.cpp:449-477, without ImGui). Buckets columns by the sample of
+    largest magnitude; with ``envelope`` by the maximum value instead —
+    right for all-negative dB traces, where max-|value| would pick the
+    noise floor and hide the decay envelope."""
     y = np.asarray(y, np.float64)
     n = len(y)
     cols = np.zeros(width)
     for c in range(width):
         seg = y[c * n // width:max(c * n // width + 1, (c + 1) * n // width)]
-        cols[c] = seg[np.argmax(np.abs(seg))] if len(seg) else 0.0
+        if not len(seg):
+            continue
+        cols[c] = seg.max() if envelope else seg[np.argmax(np.abs(seg))]
     span = hi - lo or 1.0
     rows = np.clip(((cols - lo) / span * (height - 1)).round().astype(int),
                    0, height - 1)
@@ -126,7 +131,7 @@ def cmd_ir(args) -> int:
         print(ascii_plot(ir, -peak, peak))
         db = 20.0 * np.log10(np.maximum(np.abs(ir) / peak, 1e-6))
         print("impulse response, dB [-120, 0]:")
-        print(ascii_plot(db, -120.0, 0.0))
+        print(ascii_plot(db, -120.0, 0.0, envelope=True))
     if args.output.endswith(".csv"):
         with open(args.output, "w") as f:
             f.write("sample,pressure\n")
@@ -285,7 +290,8 @@ def cmd_scale(args) -> int:
     beta, refl = voxelize.voxelize_np(params, scene.boxes if scene else [])
     lix, liy = params.world_to_cell(*_xy(args.listener))
     rows = measure_scaling(params, beta, refl, gaussian_pulse(params),
-                           lix, liy, halo=args.halo)
+                           lix, liy, halo=args.halo, reps=args.reps,
+                           chain=args.chain)
     for row in rows:
         print(json.dumps(row))
     return 0
@@ -380,6 +386,10 @@ def main(argv=None) -> int:
     common(p)
     p.add_argument("--halo", type=int, default=8,
                    help="multi-step halo width (exchange every k steps)")
+    p.add_argument("--reps", type=int, default=3,
+                   help="timing chains per device count (best taken)")
+    p.add_argument("--chain", type=int, default=5,
+                   help="dependent passes per timing chain")
     p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")

@@ -18,7 +18,6 @@ reproduces them.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 
 from planeverb_tpu.config import (BoundaryType, PhysicalConstants,
@@ -44,7 +43,9 @@ def _session_dict(ctx) -> dict:
         "config": cfg,
         "listener": list(ctx.get_listener_position()),
         "geometry": geo,
+        "geometry_free": ctx.geometry.free_ids(),
         "emitters": emitters,
+        "emitters_free": ctx.emissions.free_ids(),
     }
 
 
@@ -86,8 +87,10 @@ def load_session(path_or_file, **context_kwargs):
     ctx = Context(config, **context_kwargs)
     ctx.geometry.restore(
         [(gid, AABB(x, y, w, h, a)) for gid, x, y, w, h, a
-         in doc["geometry"]])
+         in doc["geometry"]],
+        free=doc.get("geometry_free"))
     ctx.emissions.restore(
-        [(eid, (x, y, z)) for eid, x, y, z in doc["emitters"]])
+        [(eid, (x, y, z)) for eid, x, y, z in doc["emitters"]],
+        free=doc.get("emitters_free"))
     ctx.set_listener_position(*doc["listener"])
     return ctx

@@ -12,7 +12,32 @@ from __future__ import annotations
 import contextlib
 import time
 
-__all__ = ["StageTimer", "Stats", "throughput", "device_trace"]
+__all__ = ["StageTimer", "Stats", "throughput", "device_trace",
+           "time_chained"]
+
+
+def time_chained(fn, n: int = 10, reps: int = 3) -> float:
+    """Per-pass wall time of fn, measured as a chain of n dependent runs.
+
+    On the tunneled TPU backend ``block_until_ready`` returns immediately and
+    identical executions may be served from a relay cache, so honest timing
+    requires data dependence: ``fn(eps)`` must seed its input with ``eps``
+    and return a scalar jax value derived from its output; the chain feeds
+    each output into the next input (forcing sequential device execution and
+    unique programs) and fetches once at the end. Returns the best per-pass
+    mean over ``reps`` chains.
+    """
+    import numpy as np
+
+    best = float("inf")
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        eps = 1e-3 * (rep + 1)
+        for _ in range(n):
+            eps = fn(eps) * 1e-6
+        float(np.asarray(eps))  # single fetch drains the chain
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 class Stats:

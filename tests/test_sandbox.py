@@ -122,3 +122,18 @@ class TestSweep:
         buf = io.StringIO()
         res.to_csv(buf)
         assert buf.getvalue().startswith("door_pos,dry_gain,wet_gain")
+
+    def test_ascii_plot_envelope_tracks_decay(self):
+        from planeverb_tpu.sandbox.cli import ascii_plot
+
+        # decaying dB trace with near-floor samples interleaved: the
+        # envelope plot must follow the decay, not the floor
+        t = np.arange(400, dtype=np.float64)
+        db = -t * 0.25
+        db[1::2] = -120.0
+        s = ascii_plot(db, -120.0, 0.0, width=40, height=10, envelope=True)
+        rows = s.splitlines()
+        col_height = [10 - next(r for r in range(10) if rows[r][c] == "*")
+                      for c in range(40)]
+        assert col_height[0] == 10 and col_height[-1] <= 3
+        assert all(a >= b for a, b in zip(col_height, col_height[1:]))

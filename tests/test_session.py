@@ -83,3 +83,23 @@ class TestSessionRoundtrip:
         pv.save_session(ctx, path)
         ctx2 = pv.load_session(path)
         assert ctx2.geometry.items() == ctx.geometry.items()
+
+    def test_free_list_order_matches_live_session(self):
+        ctx = pv.Context(CFG)
+        ids = [ctx.geometry.add(pv.AABB(float(i), 1.0, 0.5, 0.5, 0.5))
+               for i in range(4)]
+        ctx.geometry.remove(ids[3])
+        ctx.geometry.remove(ids[1])   # live free stack: [3, 1]
+        e = [ctx.emissions.emit(float(i), 0.0, 1.0) for i in range(3)]
+        ctx.emissions.end(e[2])
+        ctx.emissions.end(e[0])       # live free stack: [2, 0]
+
+        buf = io.StringIO()
+        pv.save_session(ctx, buf)
+        buf.seek(0)
+        ctx2 = pv.load_session(buf)
+        # id reuse order after resume == uncheckpointed order (LIFO)
+        assert ctx2.geometry.add(pv.AABB(9.0, 9.0, 0.5, 0.5, 0.5)) == ids[1]
+        assert ctx2.geometry.add(pv.AABB(9.0, 8.0, 0.5, 0.5, 0.5)) == ids[3]
+        assert ctx2.emissions.emit(9.0, 0.0, 9.0) == e[0]
+        assert ctx2.emissions.emit(9.0, 0.0, 8.0) == e[2]
