@@ -94,3 +94,44 @@ def test_native_mono_input_and_double_buffering():
     assert np.abs(c).max() == 0  # rt60 < 3 s band
     dry2, *_ = nat.get_output()
     assert np.abs(dry2).max() == 0  # back buffer was zeroed
+
+
+def test_native_render_meets_audio_callback_budget():
+    """Reference audio contract: 44.1 kHz stereo, 512-frame blocks
+    (Util.h:6-10) => 11.6 ms per callback. The native path must render many
+    concurrent sources well inside it; assert a generous 8 ms for one block
+    of 8 sources + reverbs so the test stays robust on loaded CI boxes."""
+    import time
+
+    from planeverb_tpu.native import NativeReverb
+
+    cfg = PlaneverbDSPConfig(max_callback_length=512)
+    nat = NativeDSPContext(cfg)
+    nat.set_listener_transform((0.0, 0.0, 0.0), (1.0, 0.0, 0.0))
+    good = PlaneverbOutput(occlusion=0.8, wet_gain=0.5, rt60=0.9,
+                           lowpass=8000.0, direction=vec2(1.0, 0.0),
+                           source_directivity=vec2(1.0, 0.0))
+    for eid in range(8):
+        nat.update_emitter(eid, (1.0 + eid, 0.0, 0.0), (1.0, 0.0, 0.0))
+    block = np.ones((512, 2), f32) * 0.25
+    reverbs = [NativeReverb(rt, cfg.sampling_rate) for rt in (0.5, 1.0, 3.0)]
+    mix = np.zeros((512, 2), f32)
+
+    def one_callback():
+        for eid in range(8):
+            nat.submit_source(eid, good, block)
+        dry, a, b, c = nat.get_output()
+        out = dry[:512].copy()
+        for rev, bus in zip(reverbs, (a, b, c)):
+            rev.process_add(np.ascontiguousarray(bus[:512]), out)
+        return out
+
+    one_callback()  # warm
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        one_callback()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    budget = 512 / cfg.sampling_rate  # 11.6 ms
+    assert best < 0.7 * budget, (best, budget)
