@@ -140,3 +140,40 @@ def test_lazy_walk_matches_pointer_jumping(pair):
     total = ((p.grid_x + 1) // 2) * ((p.grid_y + 1) // 2)
     # identical semantics; allow only float-tie stragglers
     assert mismatches / total <= 0.01, (name, mismatches, total)
+
+
+@pytest.mark.parametrize("rt60_true", [0.3, 0.9, 2.5])
+def test_rt60_estimator_recovers_synthetic_decay(rt60_true):
+    """SchroederEnvelope.sci analog (reference F1): a synthetic signal whose
+    Schroeder EDC is exactly -60/rt60 dB/s must come back out of the
+    backward integration + closed-form regression. Constructing p so that
+    EDC(t) = exp(-2*lambda*t) exactly (per-sample energy = EDC differences,
+    with the infinite tail's energy folded into the last sample) isolates
+    the estimator from finite-record truncation bias, which is a property
+    of short records, not of the estimator."""
+    import jax.numpy as jnp
+
+    p = compute_grid_params(CFG)
+    T, fs = p.response_length, p.fs
+    lam = 6.91 / (rt60_true * fs)          # amplitude decay rate per sample
+    t = np.arange(T, dtype=np.float64)
+    edc = np.exp(-2.0 * lam * t)
+    energy = np.empty(T)
+    energy[:-1] = edc[:-1] - edc[1:]
+    energy[-1] = edc[-1]
+    amp = np.sqrt(energy).astype(np.float32)
+
+    pressure = np.zeros((T, p.nx, p.ny), np.float32)
+    pressure[:, 5, 5] = amp
+    onset = np.full((p.nx, p.ny), np.inf, np.float32)
+    onset[5, 5] = 0.0
+    zeros = np.zeros((p.nx, p.ny), np.float32)
+
+    moments = analyzer.moments_from_pressure(p, jnp.asarray(pressure),
+                                             jnp.asarray(onset))
+    out = analyzer.analyze_moments(p, moments, jnp.asarray(onset),
+                                   jnp.asarray(zeros), jnp.asarray(zeros),
+                                   np.float32(1.0), np.float32(5.0),
+                                   np.float32(5.0), compute_directions=False)
+    got = float(np.asarray(out.rt60)[5, 5])
+    assert abs(got - rt60_true) <= 0.02 * rt60_true, (got, rt60_true)
