@@ -255,6 +255,15 @@ def analyze(grid: OracleGrid, rec_pr, rec_vx, rec_vy,
     wet_gain_samples = int(f32(CONSTANTS.wet_gain_analysis_length) * f32(fs))
     schro_off = int(f32(CONSTANTS.schroeder_offset_s) * f32(fs))
 
+    if gx != gy:
+        # The reference indexes its result grid as [x*H + y] while its own
+        # INDEX macro uses dim.x (Analyzer.cpp:114 vs PvDefinitions.h:23) —
+        # coincident for square grids, out-of-bounds (UB) for rectangular
+        # ones. The reference never runs non-square grids; there is no
+        # faithful behavior to transliterate (SURVEY.md §7 reference quirks).
+        raise NotImplementedError(
+            "oracle analyzer: the reference's analyzer indexing is undefined "
+            "for non-square grids; compare solver fields instead")
     for serial in range(n_cells):
         # INDEX_TO_POS with dim.x = gx: r = i // gx, c = i % gx
         r = serial // gx

@@ -121,3 +121,83 @@ def test_direction(golden):
     diff = np.abs(eng - o).max(axis=-1)
     frac_bad = float((diff > 1e-4).mean())
     assert frac_bad <= 0.01, (name, frac_bad)
+
+
+def test_rectangular_grid_parity():
+    """Non-square grids (grid_size_x != grid_size_y) must match the oracle's
+    SOLVER — guards against axis swaps, which square grids cannot catch.
+    The reference's *analyzer* indexing is undefined for non-square grids
+    (Analyzer.cpp:114 quirk, SURVEY.md §7), so the oracle analyzer refuses
+    them; the engine's analyzer is checked for physical consistency and the
+    Pallas/sharded solvers are pinned on the same rectangular shape."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from planeverb_tpu.ops.fdtd_pallas import simulate_pallas
+    from planeverb_tpu.parallel import grid_mesh, pad_to_mesh, simulate_sharded
+    from planeverb_tpu.scene import AABB, Scene
+
+    cfg = PlaneverbConfig(grid_size_x=8.0, grid_size_y=14.0,
+                          grid_resolution=275)
+    scene = Scene(boxes=[AABB(4.0, 7.0, 5.0, 1.0, 0.95),
+                         AABB(2.0, 3.0, 1.0, 4.0, 0.9)], name="rect")
+    listener = (3.0, 10.0)
+
+    p = compute_grid_params(cfg)
+    assert p.nx != p.ny
+    beta, refl = voxelize.voxelize_np(p, scene.boxes)
+    pulse = oracle.gaussian_pulse(p)
+    lix, liy = p.world_to_cell(*listener)
+    res = fdtd.simulate(p, beta, refl, pulse, lix, liy)
+    efree = _efree(p)
+    out = analyzer.analyze(p, res.pressure, res.onset, res.flux_x,
+                           res.flux_y, np.float32(efree),
+                           np.float32(listener[0]), np.float32(listener[1]))
+
+    # solver fields vs the oracle solver (well-defined for any shape)
+    grid = oracle.build_scene(cfg, scene)
+    o_pr, _, _ = oracle.generate_response(grid, *listener)
+    o_pr = o_pr.reshape(-1, p.nx, p.ny)
+    peak = np.abs(o_pr).max()
+    assert np.abs(np.asarray(res.pressure) - o_pr).max() <= 1e-6 * peak
+
+    # the oracle analyzer must refuse the shape it cannot define
+    with pytest.raises(NotImplementedError):
+        oracle.analyze(grid, o_pr.reshape(len(o_pr), -1), o_pr[0], o_pr[0],
+                       *listener, efree)
+
+    # engine analyzer physical consistency on the rectangular grid
+    delay = np.asarray(out.delay_samples)
+    occ = np.asarray(out.occlusion)
+    cx, cy = p.world_to_cell(*listener)
+    near = delay[cx, cy + 1]
+    far = delay[cx, min(cy + 20, p.grid_y - 1)]
+    assert np.isfinite(near) and near < far  # delay grows with distance
+    assert occ[cx, cy + 1] > 0
+
+    # Pallas fused kernel (interpret) on the rectangular shape
+    T = 64
+    p_small = dataclasses.replace(p, response_length=T)
+    r_scan = fdtd.simulate(p_small, jnp.asarray(beta), jnp.asarray(refl),
+                           jnp.asarray(pulse[:T]), lix, liy)
+    r_pal = simulate_pallas(p_small, jnp.asarray(beta), jnp.asarray(refl),
+                            jnp.asarray(pulse[:T]), lix, liy,
+                            interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(r_pal.pressure)[:, :p.nx, :p.ny],
+        np.asarray(r_scan.pressure))
+
+    # sharded solver on the rectangular shape (2x4 mesh)
+    mesh = grid_mesh(shape=(2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    bp = np.zeros((nx_pad, ny_pad), np.float32)
+    bp[:p.nx, :p.ny] = beta
+    rp = np.zeros((nx_pad, ny_pad), np.float32)
+    rp[:p.nx, :p.ny] = refl
+    r_sh = simulate_sharded(p_small, jnp.asarray(bp), jnp.asarray(rp),
+                            jnp.asarray(pulse[:T]), jnp.int32(lix),
+                            jnp.int32(liy), mesh, nx_pad, ny_pad)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.pressure)[:, :p.nx, :p.ny],
+        np.asarray(r_scan.pressure), atol=1e-6)
