@@ -47,6 +47,31 @@ class AABB3D:
     absorption: float = 0.989949494
 
 
+def merge_bounds(boxes, absorption: float | None = None) -> AABB3D:
+    """Merge child collider bounds into one enclosing AABB3D — the per-object
+    bounds computation of the reference's PlaneverbObject.GetMaxBounds
+    (UnityDemo PlaneverbObject.cs:184-192), which encapsulates every child
+    collider before registering the object with the engine.
+
+    ``absorption`` overrides the merged box's material; default is the first
+    child's.
+    """
+    boxes = list(boxes)
+    if not boxes:
+        raise ValueError("merge_bounds needs at least one box")
+    lox = min(b.x - b.width * 0.5 for b in boxes)
+    hix = max(b.x + b.width * 0.5 for b in boxes)
+    loy = min(b.y - b.height * 0.5 for b in boxes)
+    hiy = max(b.y + b.height * 0.5 for b in boxes)
+    loz = min(b.z - b.depth * 0.5 for b in boxes)
+    hiz = max(b.z + b.depth * 0.5 for b in boxes)
+    return AABB3D(x=(lox + hix) * 0.5, y=(loy + hiy) * 0.5,
+                  z=(loz + hiz) * 0.5, width=hix - lox, height=hiy - loy,
+                  depth=hiz - loz,
+                  absorption=(boxes[0].absorption if absorption is None
+                              else absorption))
+
+
 def project_to_slice(boxes, listener_y: float,
                      head_slice: float = 0.5) -> Scene:
     """Head-slice culling: 3D boxes -> the 2D scene at the listener's ears.

@@ -54,3 +54,19 @@ class TestHeadSlice:
         scene2 = project_to_slice(boxes, listener_y=5.0)
         assert len(scene2.boxes) == 1
         assert scene2.boxes[0].x == 4.0
+
+
+def test_merge_bounds_encapsulates_children():
+    from planeverb_tpu.scene import AABB3D, merge_bounds
+
+    kids = [AABB3D(0.0, 1.0, 0.0, 2.0, 2.0, 2.0, absorption=0.8),
+            AABB3D(3.0, 2.0, -1.0, 1.0, 4.0, 1.0)]
+    m = merge_bounds(kids)
+    assert (m.x, m.y, m.z) == (1.25, 2.0, -0.25)
+    assert (m.width, m.height, m.depth) == (4.5, 4.0, 2.5)
+    assert m.absorption == 0.8
+    assert merge_bounds(kids, absorption=0.5).absorption == 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_bounds([])
