@@ -72,14 +72,16 @@ class Context:
         self._beta = None
         self._refl = None
 
-        self._results: dict | None = None       # published host-side results
-        self._results_listener = (0.0, 0.0)     # listener used for results
-        self._last_pressure = None               # device [T, nx, ny]
+        # one snapshot object published per iteration: a single attribute
+        # assignment is atomic, so readers never pair new results with an
+        # old listener position (or vice versa)
+        self._published: dict | None = None
         self._iteration = 0
         self._iter_cond = threading.Condition()
 
         self._thread: threading.Thread | None = None
         self._running = False
+        self.error: BaseException | None = None  # set if the loop dies
 
         if scene is not None:
             self.geometry.load_scene(scene)
@@ -110,8 +112,18 @@ class Context:
             self._thread = None
 
     def _loop(self) -> None:
+        import traceback
+
         while self._running:
-            self.step()
+            try:
+                self.step()
+            except Exception as e:  # noqa: BLE001 — loop must not die silently
+                self.error = e
+                traceback.print_exc()
+                self._running = False
+                with self._iter_cond:
+                    self._iter_cond.notify_all()
+                return
 
     # ------------------------------------------------------------ iteration
     def _sync_fields(self) -> None:
@@ -148,10 +160,10 @@ class Context:
                 "direction": np.asarray(out.direction),
                 "source_directivity": np.asarray(out.source_directivity),
                 "delay_samples": np.asarray(out.delay_samples),
+                "listener": (lx, lz),
+                "pressure": res.pressure,      # device [T, nx, ny]
             }
-        self._last_pressure = res.pressure
-        self._results = published
-        self._results_listener = (lx, lz)
+        self._published = published            # single atomic assignment
         with self._iter_cond:
             self._iteration += 1
             self._iter_cond.notify_all()
@@ -169,18 +181,17 @@ class Context:
     def result_at(self, x: float, z: float) -> PlaneverbOutput:
         """World position -> acoustic output (GetResponseResult analog,
         Analyzer.cpp:106-116 + FDTD.cpp:16-58)."""
-        results = self._results
+        results = self._published              # one consistent snapshot
         if results is None:
             return invalid_output()
         p = self.params
-        cx = int(np.float32(x + p.grid_offset_x) / np.float32(p.dx))
-        cy = int(np.float32(z + p.grid_offset_y) / np.float32(p.dx))
+        cx, cy = p.world_to_cell(x, z)
         if not (0 <= cx < p.grid_x and 0 <= cy < p.grid_y):
             return invalid_output()
         if self._lazy_doa:
             from planeverb_tpu.ops.doa import walk_direction
 
-            llx, llz = self._results_listener
+            llx, llz = results["listener"]
             d = walk_direction(
                 self.params, results["occlusion"], results["delay_samples"],
                 cx, cy, llx + self.params.grid_offset_x,
@@ -205,14 +216,15 @@ class Context:
 
     def get_impulse_response(self, x: float, z: float) -> np.ndarray:
         """Debug IR accessor (Planeverb::GetImpulseResponse analog)."""
-        if self._last_pressure is None:
+        published = self._published
+        if published is None:
             return np.zeros(self.params.response_length, np.float32)
         p = self.params
         cx = int(np.float32(x) / np.float32(p.dx))
         cy = int(np.float32(z) / np.float32(p.dx))
         cx = min(max(cx, 0), p.nx - 1)
         cy = min(max(cy, 0), p.ny - 1)
-        return np.asarray(self._last_pressure[:, cx, cy])
+        return np.asarray(published["pressure"][:, cx, cy])
 
     # --------------------------------------------------------------- admin
     def profile_summary(self) -> dict:

@@ -134,9 +134,18 @@ class DSPContext:
         lp = float(dsp_input.lowpass)
         obst = float(dsp_input.occlusion)
         dvec = (float(dsp_input.direction.x), float(dsp_input.direction.y))
-        # input rejection (PvDSPContext.cpp:258-263)
+        # input rejection (PvDSPContext.cpp:258-263), extended with
+        # finiteness (NaN passes every range comparison and would poison
+        # the filter/gain state for this source permanently)
         if (lp < gains.MIN_AUDIBLE_FREQ or lp > gains.MAX_AUDIBLE_FREQ
                 or obst <= 0.0 or (dvec[0] == 0.0 and dvec[1] == 0.0)):
+            return
+        import math as _math
+        params_all = (lp, obst, float(dsp_input.wet_gain),
+                      float(dsp_input.rt60), dvec[0], dvec[1],
+                      float(dsp_input.source_directivity.x),
+                      float(dsp_input.source_directivity.y))
+        if not all(_math.isfinite(v) for v in params_all):
             return
 
         cur = self._current.setdefault(eid, EmissionParams())

@@ -99,6 +99,16 @@ def render_block(config: PlaneverbDSPConfig, audio, target: SourceParams,
              & (target.lowpass <= gains.MAX_AUDIBLE_FREQ)
              & (target.occlusion > 0.0)
              & ((target.direction[:, 0] != 0.0) | (target.direction[:, 1] != 0.0)))
+    # extend the reference gate with finiteness: NaN passes every range
+    # comparison above (NaN < x is false), and one non-finite param would
+    # poison the cross-source bus sums for the whole batch
+    valid = (valid
+             & jnp.isfinite(target.occlusion) & jnp.isfinite(target.wet_gain)
+             & jnp.isfinite(target.rt60) & jnp.isfinite(target.lowpass)
+             & jnp.isfinite(target.direction).all(-1)
+             & jnp.isfinite(target.position).all(-1)
+             & jnp.isfinite(target.forward).all(-1)
+             & jnp.isfinite(target.directivity).all(-1))
 
     # Sanitize rejected sources' params to their current values BEFORE any
     # math: a NaN/Inf param would otherwise flow through the filter/gain

@@ -155,11 +155,15 @@ def mix_output(dry, wet_a, wet_b, wet_c, sample_rate: int,
     mix = jnp.asarray(dry, jnp.float32)
     for rt60, bus in zip(rt60s, buses):
         params = reverb_params(rt60, sample_rate)
-        st = states.get(rt60)
+        # key by (rt60, sample_rate): the delay-line sizes depend on the
+        # rate, and reusing a state across a rate change would read ring
+        # buffers at silently wrong (aliased) delays
+        key = (rt60, sample_rate)
+        st = states.get(key)
         if st is None:
             st = init_reverb_state(params, batch=2)
         x = jnp.asarray(bus, jnp.float32).T       # [2, N] L/R as batch
         wet, st = reverb_scan(x, st, params)
-        states[rt60] = st
+        states[key] = st
         mix = mix + wet.T
     return mix, states

@@ -162,9 +162,16 @@ int pvdsp_submit_source(void* h, int64_t id, float occlusion, float wet_gain,
                         int frames, int channels) {
   auto* c = static_cast<Context*>(h);
   if (frames <= 0 || frames > c->max_frames) return 1;
-  // input rejection (PvDSPContext.cpp:258-263)
+  // input rejection (PvDSPContext.cpp:258-263), extended with finiteness:
+  // NaN passes every range comparison and would poison the shared buses
   if (lowpass < kMinFreq || lowpass > kMaxFreq || occlusion <= 0.0f ||
       (dirx == 0.0f && diry == 0.0f)) {
+    return 1;
+  }
+  if (!(std::isfinite(occlusion) && std::isfinite(wet_gain) &&
+        std::isfinite(rt60) && std::isfinite(lowpass) &&
+        std::isfinite(dirx) && std::isfinite(diry) &&
+        std::isfinite(sdirx) && std::isfinite(sdiry))) {
     return 1;
   }
   const int n = frames;

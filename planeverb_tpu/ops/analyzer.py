@@ -203,16 +203,22 @@ def analyze_moments(params: GridParams, moments: Moments, onset,
     start = direct_end + 1.0
     end = jnp.float32(T - schro_off)
     rn = end - start
-    xmean = (rn - 1.0) * 0.5
-    xsum = rn * xmean
-    denom = (1.0 / 12.0) * rn * (rn * rn - 1.0)
+    # degenerate regression window (onset too close to the end of the
+    # recording): fewer than two samples -> no defined slope. The reference
+    # divides by zero here (UB garbage into the output grid); emit the
+    # no-reverb value 0 instead, like never-found cells.
+    window_ok = rn > 1.0
+    rn_s = jnp.where(window_ok, rn, 2.0)
+    xmean = (rn_s - 1.0) * 0.5
+    xsum = rn_s * xmean
+    denom = (1.0 / 12.0) * rn_s * (rn_s * rn_s - 1.0)
     ysum = s0
     xysum = s1
-    ymean = ysum / rn
-    numerator = xysum - ymean * xsum - xmean * ysum + rn * xmean * ymean
+    ymean = ysum / rn_s
+    numerator = xysum - ymean * xsum - xmean * ysum + rn_s * xmean * ymean
     slope_db_per_sec = numerator / denom * fs
     rt60 = -60.0 / slope_db_per_sec
-    rt60 = jnp.where(found, rt60, 0.0)
+    rt60 = jnp.where(found & window_ok, rt60, 0.0)
 
     delay = jnp.where(found, onset, jnp.float32(jnp.finfo(jnp.float32).max))
 

@@ -103,13 +103,19 @@ def encode_directions(params: GridParams, occlusion, delay,
     geodesic = c_sound * dly / fs
     los = jnp.abs(geodesic - euclid) < thr_dist
 
-    # terminal predicate after arriving at a cell (loop-top + LOS checks)
-    terminal = (los
-                | (dly <= jnp.float32(k.delay_close_threshold))
-                | (occ >= jnp.float32(k.distance_gain_threshold))
-                | (~has_next)
-                | (nxt_delay >= dly))
-    g = jnp.where(terminal, jnp.arange(n), nxt)
+    # stop-at-this-cell predicate (arrival LOS + loop-top checks, which the
+    # reference evaluates BEFORE the neighbor scan — Analyzer.cpp:354,406)
+    stop_here = (los
+                 | (dly <= jnp.float32(k.delay_close_threshold))
+                 | (occ >= jnp.float32(k.distance_gain_threshold))
+                 | (~has_next))
+    # the reference commits nextIndex inside the scan, so a non-improving
+    # best neighbor means one final hop TO that neighbor, then stop
+    # (Analyzer.cpp:375-385) — not expressible as a fixpoint of the hop map,
+    # so it is applied as a single post-jump step below
+    hop_stop = (~stop_here) & has_next & (nxt_delay >= dly)
+    advance = (~stop_here) & (nxt_delay < dly)
+    g = jnp.where(advance, nxt, jnp.arange(n))
 
     # first step from the start cell: delay register is +inf, LOS unchecked
     start_terminal = (occ >= jnp.float32(k.distance_gain_threshold)) | (~has_next)
@@ -125,6 +131,7 @@ def encode_directions(params: GridParams, occlusion, delay,
         return gg[gg]
     g = jax.lax.fori_loop(0, jumps, body, g)
     final = g[s1]
+    final = jnp.where(hop_stop[final], nxt[final], final)
 
     # unit vector from final cell to listener (Analyzer.cpp:409-430)
     fex = ex[final]
@@ -199,6 +206,17 @@ def walk_direction(params: GridParams, occlusion, delay, sx: int, sy: int,
         for _ in range(params.response_length + 2):
             nxt, nxt_d = best_neighbor(*cur)
             if nxt_d == f32max or terminal(*cur, nxt_d):
+                # literal reference semantics: the C++ commits nextIndex to
+                # the best neighbor inside the scan, so the non-improving
+                # break (nxt_d >= delay[cur], no LOS/close/loud stop first)
+                # still leaves the walk at that neighbor (Analyzer.cpp:
+                # 375-385)
+                if (nxt_d != f32max and nxt_d >= delay[cur]
+                        and not los(*cur)
+                        and delay[cur] > np.float32(k.delay_close_threshold)
+                        and occlusion[cur] < np.float32(
+                            k.distance_gain_threshold)):
+                    cur = nxt
                 break
             cur = nxt
 

@@ -380,7 +380,6 @@ def _encode_directions(p: GridParams, occlusion, delay_samples, lwx, lwz):
             c = next_index % gx
             next_loudness = f32(0.0)
             next_delay = max_delay
-            cand = next_index
             for dr, dc in _NEIGHBORS:
                 nr, nc = r + dr, c + dc
                 if nr < 0 or nc < 0 or nr >= gx or nc >= gy:
@@ -394,11 +393,13 @@ def _encode_directions(p: GridParams, occlusion, delay_samples, lwx, lwz):
                     continue
                 if d < next_delay and occlusion[npos] > 0.0:
                     next_loudness = occlusion[npos]
-                    cand = npos
+                    # literal C++: nextIndex is committed HERE, inside the
+                    # scan — so the non-improving break below still leaves
+                    # the walk at the best neighbor (Analyzer.cpp:375-385)
+                    next_index = npos
                     next_delay = d
             if next_delay == max_delay or next_delay >= delay:
                 break
-            next_index = cand
             delay = next_delay
             loudness = next_loudness
 

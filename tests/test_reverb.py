@@ -85,6 +85,6 @@ def test_mix_output_shapes_and_state_carry():
              for _ in range(4)]
     mix, states = mix_output(*buses, FS)
     assert np.asarray(mix).shape == (n, 2)
-    assert set(states) == {0.5, 1.0, 3.0}
+    assert set(states) == {(0.5, FS), (1.0, FS), (3.0, FS)}
     mix2, states = mix_output(*buses, FS, states)
     assert np.asarray(mix2).shape == (n, 2)
