@@ -67,7 +67,7 @@ def main() -> None:
         return out.occlusion[5, 5] + out.rt60[5, 5]
 
     float(np.asarray(full_pass(0.0)))  # compile + warm
-    t_pipeline = time_chained(full_pass)
+    t_pipeline = time_chained(full_pass, reps=5)
 
     def sim_only(eps):
         res = simulate_auto(params, beta, refl, pulse * (1.0 + eps),
@@ -75,7 +75,7 @@ def main() -> None:
         return res.pressure[T - 1, 5, 5]
 
     float(np.asarray(sim_only(0.0)))
-    t_sim = time_chained(sim_only)
+    t_sim = time_chained(sim_only, reps=5)
 
     # --- baseline: NumPy oracle solver, per-step cost extrapolated from a
     # reduced-step run (the oracle's analyzer is a test-only per-cell Python
