@@ -275,6 +275,26 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    # interactive browser sandbox (the reference's ImGui editor analog,
+    # Editor.cpp:563-651 grid view / 396-434 readouts / 449-477 IR plots)
+    from planeverb_tpu.sandbox.viewer import ViewerServer
+
+    viewer = ViewerServer(_config(args), scene=_load_scene(args.scene),
+                          host=args.host, port=args.port)
+    lx, lz = _xy(args.listener)
+    viewer.ctx.set_listener_position(lx, 0.0, lz)
+    host, port = viewer.address
+    print(f"planeverb sandbox viewer at http://{host}:{port}/", flush=True)
+    try:
+        viewer.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        viewer.shutdown()
+    return 0
+
+
 def cmd_scale(args) -> int:
     # strong-scaling sweep of the sharded solver (BASELINE.md efficiency
     # metric); on a dev box run under
@@ -380,6 +400,15 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8471)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("view", help="interactive browser sandbox "
+                                    "(grid editor, live params, IR plots)")
+    p.add_argument("scene", nargs="?", default=None,
+                   help=".pv file or demo scene name (default: empty grid)")
+    common(p, scene=False)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8470)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("scale", help="strong-scaling sweep of the sharded "
                                      "solver over growing device counts")
