@@ -215,15 +215,19 @@ class Context:
         return self.result_at(pos[0], pos[2])
 
     def get_impulse_response(self, x: float, z: float) -> np.ndarray:
-        """Debug IR accessor (Planeverb::GetImpulseResponse analog)."""
+        """Debug IR accessor (Planeverb::GetImpulseResponse analog).
+
+        Out-of-grid probes return an empty array — the reference returns
+        null for positions outside the grid (FDTD.cpp:60-70) rather than
+        clamping to the nearest edge cell.
+        """
         published = self._published
         if published is None:
             return np.zeros(self.params.response_length, np.float32)
         p = self.params
-        cx = int(np.float32(x) / np.float32(p.dx))
-        cy = int(np.float32(z) / np.float32(p.dx))
-        cx = min(max(cx, 0), p.nx - 1)
-        cy = min(max(cy, 0), p.ny - 1)
+        cx, cy = p.world_to_cell(x, z)
+        if not (0 <= cx < p.nx and 0 <= cy < p.ny):
+            return np.zeros(0, np.float32)
         return np.asarray(published["pressure"][:, cx, cy])
 
     # --------------------------------------------------------------- admin

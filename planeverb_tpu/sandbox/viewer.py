@@ -90,8 +90,8 @@ class ViewerServer:
             "occupancy": ["".join("." if beta[i, j] > 0 else "#"
                                   for j in range(p.ny))
                           for i in range(p.nx)],
-            "geometry": [{"id": gid, "cx": b.cx, "cy": b.cy, "w": b.w,
-                          "h": b.h, "absorption": b.absorption}
+            "geometry": [{"id": gid, "cx": b.x, "cy": b.y, "w": b.width,
+                          "h": b.height, "absorption": b.absorption}
                          for gid, b in self.ctx.geometry.items()],
             "emitters": [{"id": eid, "x": pos[0], "z": pos[2]}
                          for eid, pos in
@@ -163,10 +163,16 @@ class ViewerServer:
         return {"id": gid}
 
     def _cmd_update_geometry(self, req):
-        self.ctx.geometry.update(int(req["id"]), _box(req))
+        gid = int(req["id"])
+        if self.ctx.geometry.get(gid) is None:
+            raise KeyError(f"no geometry id {gid}")
+        self.ctx.geometry.update(gid, _box(req))
 
     def _cmd_remove_geometry(self, req):
-        self.ctx.geometry.remove(int(req["id"]))
+        gid = int(req["id"])
+        if self.ctx.geometry.get(gid) is None:
+            raise KeyError(f"no geometry id {gid}")
+        self.ctx.geometry.remove(gid)
 
     def _cmd_load_scene(self, req):
         scene = demo_scene(req["name"])
@@ -249,8 +255,10 @@ def _make_handler(viewer: ViewerServer):
             if url.path != "/api/command":
                 self._json({"ok": False, "error": "not found"}, 404)
                 return
-            resp = viewer.command(req)
-            self._json(resp, 200 if resp.get("ok") else 400)
+            # Always 200: command failures are application-level, reported in
+            # the {"ok": false, "error": ...} body so clients can read them
+            # (urllib raises on 4xx before the body is reachable).
+            self._json(viewer.command(req))
 
     return Handler
 

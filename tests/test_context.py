@@ -131,3 +131,27 @@ def test_lazy_directions_context_matches_default():
     assert a.occlusion == b.occlusion
     assert abs(a.direction.x - b.direction.x) < 1e-4
     assert abs(a.direction.y - b.direction.y) < 1e-4
+
+
+def test_impulse_response_honors_grid_offset():
+    """Regression: the IR probe must map world->cell through world_to_cell
+    (grid offsets included) like every other accessor, and signal invalid
+    (empty array) out of grid bounds instead of clamping (FDTD.cpp:60-70)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, grid_offset_x=20.0, grid_offset_y=-4.0)
+    ctx = pv.Context(cfg, scene=pv.demo_scene("SmallRoom"))
+    # world x in [-20, -10), world z in [4, 14)
+    ctx.set_listener_position(-15.0, 0.0, 9.0)
+    ctx.step()
+
+    ir = ctx.get_impulse_response(-14.0, 9.0)
+    assert ir.shape == (ctx.params.response_length,)
+    assert np.abs(ir).max() > 0
+    # the probed cell is exactly the world_to_cell one
+    cx, cy = ctx.params.world_to_cell(-14.0, 9.0)
+    np.testing.assert_array_equal(ir, ctx._published["pressure"][:, cx, cy])
+
+    # out of bounds -> empty, not edge-clamped
+    assert ctx.get_impulse_response(5.0, 9.0).size == 0
+    assert ctx.get_impulse_response(-15.0, 50.0).size == 0
