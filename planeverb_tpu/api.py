@@ -21,7 +21,7 @@ from planeverb_tpu.types import PlaneverbOutput, invalid_output
 
 __all__ = [
     "init", "exit", "change_settings", "get_context",
-    "emit", "update_emission", "end_emission", "get_output",
+    "emit", "update_emission", "end_emission", "get_output", "get_emission",
     "add_geometry", "update_geometry", "remove_geometry",
     "set_listener_position", "get_impulse_response",
 ]
@@ -64,12 +64,27 @@ def get_context() -> Context | None:
     return _context
 
 
-def emit(x: float, y: float, z: float) -> int:
-    return _context.emissions.emit(x, y, z)
+def emit(x: float, y: float, z: float, *,
+         forward=(1.0, 0.0, 0.0), volume_db: float = 0.0,
+         pattern: int = 0) -> int:
+    """Start an emission with its emit-time attributes: facing vector,
+    volume in dB (-> gain 10^(dB/20)) and directivity pattern index
+    (PlaneverbEmitter.cs:21-24,89-96)."""
+    return _context.emissions.emit(x, y, z, forward=forward,
+                                   volume_db=volume_db, pattern=pattern)
 
 
-def update_emission(eid: int, x: float, y: float, z: float) -> None:
-    _context.emissions.update(eid, x, y, z)
+def update_emission(eid: int, x: float, y: float, z: float, *,
+                    forward=None, volume_db: float | None = None,
+                    pattern: int | None = None) -> None:
+    _context.emissions.update(eid, x, y, z, forward=forward,
+                              volume_db=volume_db, pattern=pattern)
+
+
+def get_emission(eid: int):
+    """The live :class:`~planeverb_tpu.core.emissions.Emission` record
+    (position + forward + volume_db/volume_gain + pattern), or None."""
+    return _context.emissions.get_emission(eid)
 
 
 def end_emission(eid: int) -> None:

@@ -214,6 +214,26 @@ class Context:
             return invalid_output()
         return self.result_at(pos[0], pos[2])
 
+    def sync_dsp(self, dsp) -> dict[int, tuple[PlaneverbOutput, float]]:
+        """Push every live emission's state into a DSP context and return
+        ``{eid: (acoustic output, emit-time volume gain)}``.
+
+        This is the per-frame engine->DSP handoff the reference spreads over
+        its Unity components (PlaneverbEmitter.cs:52-60 UpdateEmission/
+        UpateEmitter/GetOutput each frame, :93 SetEmitterDirectivityPattern
+        at emit): position+forward and the directivity pattern go to the DSP
+        side; the caller scales the source audio by the returned volume gain
+        before ``submit_source`` (PlaneverbAudioSource applies
+        GetVolumeGain() to its samples).
+        """
+        results: dict[int, tuple[PlaneverbOutput, float]] = {}
+        for eid, em in sorted(self.emissions.snapshot_emissions().items()):
+            dsp.update_emitter(eid, em.position, em.forward)
+            dsp.set_emitter_directivity_pattern(eid, em.pattern)
+            results[eid] = (self.result_at(em.position[0], em.position[2]),
+                            em.volume_gain)
+        return results
+
     def get_impulse_response(self, x: float, z: float) -> np.ndarray:
         """Debug IR accessor (Planeverb::GetImpulseResponse analog).
 

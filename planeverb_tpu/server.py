@@ -125,13 +125,22 @@ class EngineServer:
         return {"ok": True, "bye": True}
 
     def _emit(self, req):
-        eid = self._ctx.emissions.emit(float(req["x"]), float(req.get("y", 0)),
-                                       float(req["z"]))
+        eid = self._ctx.emissions.emit(
+            float(req["x"]), float(req.get("y", 0)), float(req["z"]),
+            forward=tuple(req.get("forward", (1.0, 0.0, 0.0))),
+            volume_db=float(req.get("volume_db", 0.0)),
+            pattern=int(req.get("pattern", 0)))
         return {"ok": True, "id": eid}
 
     def _update_emission(self, req):
-        self._ctx.emissions.update(int(req["id"]), float(req["x"]),
-                                   float(req.get("y", 0)), float(req["z"]))
+        fwd = req.get("forward")
+        self._ctx.emissions.update(
+            int(req["id"]), float(req["x"]), float(req.get("y", 0)),
+            float(req["z"]),
+            forward=tuple(fwd) if fwd is not None else None,
+            volume_db=(float(req["volume_db"]) if "volume_db" in req
+                       else None),
+            pattern=int(req["pattern"]) if "pattern" in req else None)
         return {"ok": True}
 
     def _end_emission(self, req):

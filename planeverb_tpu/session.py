@@ -27,14 +27,17 @@ from planeverb_tpu.scene import AABB
 __all__ = ["save_session", "load_session", "SESSION_FORMAT"]
 
 SESSION_FORMAT = "planeverb_tpu.session"
-SESSION_VERSION = 1
+# v2 adds emit-time emitter attributes (forward, volume_db, pattern);
+# v1 documents (position-only emitter rows) still load.
+SESSION_VERSION = 2
 
 
 def _session_dict(ctx) -> dict:
     geo = [[gid, b.x, b.y, b.width, b.height, b.absorption]
            for gid, b in ctx.geometry.items()]
-    emitters = [[eid, *pos] for eid, pos in
-                sorted(ctx.emissions.snapshot().items())]
+    emitters = [[eid, *em.position, *em.forward, em.volume_db, em.pattern]
+                for eid, em in
+                sorted(ctx.emissions.snapshot_emissions().items())]
     cfg = dataclasses.asdict(ctx.config)
     cfg["grid_boundary_type"] = int(ctx.config.grid_boundary_type)
     return {
@@ -90,7 +93,17 @@ def load_session(path_or_file, **context_kwargs):
          in doc["geometry"]],
         free=doc.get("geometry_free"))
     ctx.emissions.restore(
-        [(eid, (x, y, z)) for eid, x, y, z in doc["emitters"]],
+        [(row[0], _emission_row(row[1:])) for row in doc["emitters"]],
         free=doc.get("emitters_free"))
     ctx.set_listener_position(*doc["listener"])
     return ctx
+
+
+def _emission_row(vals):
+    """[x,y,z] (v1) or [x,y,z,fx,fy,fz,volume_db,pattern] (v2) -> Emission."""
+    from planeverb_tpu.core.emissions import Emission
+
+    if len(vals) == 3:
+        return Emission(tuple(vals))
+    x, y, z, fx, fy, fz, vol, pat = vals
+    return Emission((x, y, z), (fx, fy, fz), float(vol), int(pat))

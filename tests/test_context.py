@@ -155,3 +155,56 @@ def test_impulse_response_honors_grid_offset():
     # out of bounds -> empty, not edge-clamped
     assert ctx.get_impulse_response(5.0, 9.0).size == 0
     assert ctx.get_impulse_response(-15.0, 50.0).size == 0
+
+
+def test_emit_time_attributes_flow_to_dsp():
+    """Emit-time volume (dB->gain) and directivity pattern travel with the
+    emission and reach the DSP side via Context.sync_dsp — the engine->DSP
+    handoff of PlaneverbEmitter.cs:39-121."""
+    from planeverb_tpu.core.emissions import Emission
+    from planeverb_tpu.dsp import DSPContext, DirectivityPattern
+    from planeverb_tpu.config import PlaneverbDSPConfig
+
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_position(5.0, 0.0, 5.0)
+    eid = ctx.emissions.emit(6.5, 0.0, 5.0, forward=(0.0, 0.0, 1.0),
+                             volume_db=-6.0,
+                             pattern=DirectivityPattern.CARDIOID)
+    em = ctx.emissions.get_emission(eid)
+    assert isinstance(em, Emission)
+    assert em.volume_gain == pytest.approx(10 ** (-6.0 / 20.0))
+    assert em.pattern == DirectivityPattern.CARDIOID
+
+    # attribute-preserving position update; explicit attr updates stick
+    ctx.emissions.update(eid, 6.0, 0.0, 5.0)
+    em = ctx.emissions.get_emission(eid)
+    assert em.position == (6.0, 0.0, 5.0) and em.volume_db == -6.0
+    ctx.emissions.update(eid, 6.0, 0.0, 5.0, volume_db=+3.0)
+    assert ctx.emissions.get_emission(eid).volume_db == 3.0
+
+    ctx.step()
+    dsp = DSPContext(PlaneverbDSPConfig())
+    dsp.set_listener_transform((5.0, 0.0, 5.0), (1.0, 0.0, 0.0))
+    synced = ctx.sync_dsp(dsp)
+    out, gain = synced[eid]
+    assert out.valid and gain == pytest.approx(10 ** (3.0 / 20.0))
+    # the DSP target map now carries the emitter's transform + pattern
+    tgt = dsp._target[eid]
+    assert tgt.pattern == DirectivityPattern.CARDIOID
+    assert tgt.position == (6.0, 5.0)
+
+
+def test_session_roundtrip_keeps_emitter_attributes(tmp_path):
+    from planeverb_tpu.session import save_session, load_session
+
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_position(5.0, 0.0, 5.0)
+    eid = ctx.emissions.emit(6.5, 0.0, 5.0, forward=(0.0, 0.0, -1.0),
+                             volume_db=-12.0, pattern=1)
+    p = tmp_path / "s.json"
+    save_session(ctx, p)
+    ctx2 = load_session(p)
+    em = ctx2.emissions.get_emission(eid)
+    assert em.position == (6.5, 0.0, 5.0)
+    assert em.forward == (0.0, 0.0, -1.0)
+    assert em.volume_db == -12.0 and em.pattern == 1
