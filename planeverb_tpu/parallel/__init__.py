@@ -12,6 +12,8 @@ from planeverb_tpu.parallel.mesh import grid_mesh, pad_to_mesh
 from planeverb_tpu.parallel.multihost import (init_distributed,
                                               multihost_grid_mesh)
 from planeverb_tpu.parallel.solver import simulate_sharded, simulate_sharded_wide
+from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
 
 __all__ = ["grid_mesh", "pad_to_mesh", "simulate_sharded",
-           "simulate_sharded_wide", "init_distributed", "multihost_grid_mesh"]
+           "simulate_sharded_wide", "simulate_sharded_pallas",
+           "init_distributed", "multihost_grid_mesh"]

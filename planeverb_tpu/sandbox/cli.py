@@ -229,6 +229,44 @@ def cmd_convolve(args) -> int:
     return 0
 
 
+def cmd_play(args) -> int:
+    """Real-time-paced playout through the full chain (AudioCore analog).
+
+    Streams the input WAV block-by-block against real-time deadlines
+    through engine output -> DSP -> reverb mix, reporting callback-budget
+    compliance; --bypass is the reference's "Use Planeverb" A/B toggle
+    (AudioCore.cpp:98-143)."""
+    from planeverb_tpu.sandbox.realtime import RealtimePlayer
+    from planeverb_tpu.sandbox.wav import read_wav, write_wav
+
+    sx, sz = _xy(args.source[0])  # fail fast, before the sim
+    ctx = _run_context(args)
+    eid = ctx.emissions.emit(sx, 0.0, sz, volume_db=args.volume_db)
+    if not ctx.get_output(eid).valid:
+        raise SystemExit("error: source position has no valid parameters")
+
+    audio, rate = read_wav(args.infile)
+    player = RealtimePlayer(ctx, eid, audio, rate, frames=args.block,
+                            use_planeverb=not args.bypass,
+                            native=not args.python_dsp)
+    try:
+        report = player.run(realtime=not args.no_pace)
+    finally:
+        player.close()
+    if args.output:
+        write_wav(args.output, report.output, rate)
+    s = report.summary()
+    mode = "bypass" if args.bypass else "planeverb"
+    print(f"played {s['blocks']} blocks x {s['frames']} frames @ {rate} Hz "
+          f"({s['duration_s']:.2f} s, {mode})")
+    print(f"callback budget {s['budget_ms']:.2f} ms; processing mean "
+          f"{s['mean_process_ms']:.3f} ms, max {s['max_process_ms']:.3f} ms; "
+          f"underruns {s['underruns']}")
+    if args.output:
+        print(f"mix -> {args.output}")
+    return 1 if s["underruns"] else 0
+
+
 def cmd_sweep(args) -> int:
     from planeverb_tpu.sandbox.sweep import door_sweep
 
@@ -382,6 +420,25 @@ def main(argv=None) -> int:
     p.add_argument("--normalize", action="store_true", default=True,
                    help="match output peak to input peak (default on)")
     p.set_defaults(fn=cmd_convolve)
+
+    p = sub.add_parser("play", help="real-time-paced playout through the "
+                                    "full chain (AudioCore analog)")
+    common(p)
+    p.add_argument("--source", action="append", required=True)
+    p.add_argument("--in", dest="infile", required=True, help="input wav")
+    p.add_argument("-o", "--output", default="played.wav",
+                   help="write the delivered mix here ('' to skip)")
+    p.add_argument("--block", type=int, default=512,
+                   help="frames per callback block (reference: 512)")
+    p.add_argument("--volume-db", type=float, default=0.0,
+                   help="emitter volume in dB (PlaneverbEmitter.Volume)")
+    p.add_argument("--bypass", action="store_true",
+                   help='A/B toggle: play WITHOUT Planeverb processing')
+    p.add_argument("--python-dsp", action="store_true",
+                   help="use the Python DSP renderer instead of C++")
+    p.add_argument("--no-pace", action="store_true",
+                   help="skip deadline sleeps (budget measurement mode)")
+    p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("sweep", help="WetDryDoorPlot-style door sweep to CSV")
     common(p, scene=False)

@@ -238,3 +238,57 @@ class TestMultihost:
         assert rows[0]["efficiency_vs_1"] == 1.0
         assert all(r["wall_s"] > 0 and r["cell_updates_per_s"] > 0
                    for r in rows)
+
+
+@pytest.mark.parametrize("shape,halo,chunk", [
+    ((2, 4), 8, None),   # 2D mesh, one kernel iteration per round
+    ((8, 1), 4, 2),      # 1D x-sharding (the TPU-fast layout), sub-chunked
+    ((2, 4), 7, 7),      # T % halo != 0 tail round
+])
+def test_sharded_pallas_matches_single_chip(shape, halo, chunk):
+    """Fused-kernel rounds between halo exchanges (parallel/solver_pallas.py)
+    must reproduce the single-chip solver exactly, like the scan-based
+    sharded solvers do."""
+    from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
+
+    p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+    ref = fdtd.simulate(p, beta, refl, pulse, lix, liy)
+
+    n = shape[0] * shape[1]
+    mesh = grid_mesh(jax.devices()[:n], shape)
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    res = simulate_sharded_pallas(p, _pad(beta, nx_pad, ny_pad),
+                                  _pad(refl, nx_pad, ny_pad), pulse,
+                                  jnp.int32(lix), jnp.int32(liy), mesh,
+                                  nx_pad, ny_pad, halo=halo, chunk=chunk,
+                                  interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(res.pressure)[:, :p.nx, :p.ny],
+        np.asarray(ref.pressure), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(res.onset)[:p.nx, :p.ny], np.asarray(ref.onset))
+    np.testing.assert_allclose(
+        np.asarray(res.flux_x)[:p.nx, :p.ny], np.asarray(ref.flux_x),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res.flux_y)[:p.nx, :p.ny], np.asarray(ref.flux_y),
+        atol=1e-6)
+
+
+def test_sharded_pallas_rejects_bad_args():
+    from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
+
+    p, beta, refl, pulse, lix, liy = _setup(None)
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    with pytest.raises(ValueError, match="halo"):
+        simulate_sharded_pallas(p, _pad(beta, nx_pad, ny_pad),
+                                _pad(refl, nx_pad, ny_pad), pulse,
+                                jnp.int32(lix), jnp.int32(liy), mesh,
+                                nx_pad, ny_pad, halo=50, interpret=True)
+    with pytest.raises(ValueError, match="chunk"):
+        simulate_sharded_pallas(p, _pad(beta, nx_pad, ny_pad),
+                                _pad(refl, nx_pad, ny_pad), pulse,
+                                jnp.int32(lix), jnp.int32(liy), mesh,
+                                nx_pad, ny_pad, halo=8, chunk=3,
+                                interpret=True)
