@@ -292,3 +292,40 @@ def test_sharded_pallas_rejects_bad_args():
                                 jnp.int32(lix), jnp.int32(liy), mesh,
                                 nx_pad, ny_pad, halo=8, chunk=3,
                                 interpret=True)
+
+
+def test_multihost_two_processes_end_to_end():
+    """Real multi-process bring-up: two OS processes join a jax.distributed
+    runtime (2 virtual CPU devices each), build multihost_grid_mesh, and run
+    simulate_sharded_wide on global arrays — parity asserted against a
+    single-device solve inside each worker (tests/multihost_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(sys.path[:2])  # tests + repo root
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # worker sets its own 2-device flag
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for proc in procs:
+            out, _ = proc.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for proc in procs:
+            proc.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    for proc, out in zip(procs, outs):
+        assert proc.returncode == 0, out
+    assert any("RESULT pid=0" in out for out in outs)
