@@ -22,15 +22,18 @@ from planeverb_tpu.config import (CONSTANTS, MATERIALS, BoundaryType,
                                   PlaneverbConfig, PlaneverbDSPConfig,
                                   Resolution, compute_grid_params)
 from planeverb_tpu.core.context import Context
-from planeverb_tpu.scene import AABB, Scene, demo_scene, load_pv, save_pv
+from planeverb_tpu.core.objects import ObjectManager
+from planeverb_tpu.scene import (AABB, AABB3D, Scene, demo_scene, load_pv,
+                                 merge_bounds, save_pv)
 from planeverb_tpu.session import load_session, save_session
 from planeverb_tpu.types import PlaneverbOutput
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "AABB", "BoundaryType", "CONSTANTS", "Context", "MATERIALS",
-    "PlaneverbConfig", "PlaneverbDSPConfig", "PlaneverbOutput", "Resolution",
-    "Scene", "compute_grid_params", "demo_scene", "load_pv", "save_pv",
+    "AABB", "AABB3D", "BoundaryType", "CONSTANTS", "Context", "MATERIALS",
+    "ObjectManager", "PlaneverbConfig", "PlaneverbDSPConfig",
+    "PlaneverbOutput", "Resolution", "Scene", "compute_grid_params",
+    "demo_scene", "load_pv", "merge_bounds", "save_pv",
     "load_session", "save_session", "__version__",
 ]
