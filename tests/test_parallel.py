@@ -329,3 +329,64 @@ def test_multihost_two_processes_end_to_end():
     for proc, out in zip(procs, outs):
         assert proc.returncode == 0, out
     assert any("RESULT pid=0" in out for out in outs)
+
+
+def test_sharded_moments_match_single_chip_kernel():
+    """In-kernel moments under sharding must equal the fused single-chip
+    kernel's moments exactly (windowed energies + backward RT60 pass,
+    shard-local)."""
+    from planeverb_tpu.ops.fdtd_pallas import simulate_moments_pallas
+    from planeverb_tpu.parallel.solver_pallas import simulate_moments_sharded
+
+    p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+    _, ref_mom = simulate_moments_pallas(
+        p, jnp.asarray(beta), jnp.asarray(refl), jnp.asarray(pulse),
+        lix, liy, interpret=True)
+
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    res, mom = simulate_moments_sharded(
+        p, _pad(beta, nx_pad, ny_pad), _pad(refl, nx_pad, ny_pad), pulse,
+        jnp.int32(lix), jnp.int32(liy), mesh, nx_pad, ny_pad, halo=8,
+        interpret=True)
+    for name in ("e_dry", "e_wet", "e_total", "s0", "s1"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(mom, name))[:p.nx, :p.ny],
+            np.asarray(getattr(ref_mom, name))[:p.nx, :p.ny],
+            atol=1e-6, rtol=1e-6, err_msg=name)
+
+
+def test_pipeline_sharded_matches_single_chip():
+    """Full multi-chip pipeline (sharded sim + in-kernel moments +
+    assembly) against the single-chip pipeline on all six parameters."""
+    from planeverb_tpu.core.free_grid import calibrate_free_field
+    from planeverb_tpu.ops.fdtd_pallas import pipeline_auto
+    from planeverb_tpu.parallel.solver_pallas import pipeline_sharded
+
+    p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+    efree = calibrate_free_field(p)
+    _, out_ref = pipeline_auto(
+        p, jnp.asarray(beta), jnp.asarray(refl), jnp.asarray(pulse),
+        lix, liy, jnp.float32(efree), jnp.float32(LISTENER[0]),
+        jnp.float32(LISTENER[1]))
+
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh)
+    _, out = pipeline_sharded(
+        p, _pad(beta, nx_pad, ny_pad), _pad(refl, nx_pad, ny_pad), pulse,
+        jnp.int32(lix), jnp.int32(liy), mesh, nx_pad, ny_pad,
+        jnp.float32(efree), jnp.float32(LISTENER[0]),
+        jnp.float32(LISTENER[1]), halo=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.occlusion),
+                               np.asarray(out_ref.occlusion), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.wet_gain),
+                               np.asarray(out_ref.wet_gain), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.rt60),
+                               np.asarray(out_ref.rt60), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.lowpass),
+                               np.asarray(out_ref.lowpass), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.direction),
+                               np.asarray(out_ref.direction), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.source_directivity),
+                               np.asarray(out_ref.source_directivity),
+                               atol=1e-4)
