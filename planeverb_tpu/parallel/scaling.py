@@ -25,8 +25,13 @@ __all__ = ["measure_scaling"]
 
 def measure_scaling(params, beta, refl, pulse, lix, liy,
                     device_counts=None, halo: int = 8, reps: int = 3,
-                    chain: int = 5):
-    """Strong-scaling sweep of simulate_sharded_wide over sub-meshes.
+                    chain: int = 5, solver: str = "wide"):
+    """Strong-scaling sweep of the sharded solver over sub-meshes.
+
+    ``solver`` picks the backend: "wide" = lax.scan with k-step halo
+    widening (parallel/solver.py), "pallas" = fused-kernel rounds between
+    halo exchanges (parallel/solver_pallas.py — the TPU-rate path;
+    interpret mode engages automatically off-TPU).
 
     Timing uses the chained-dependent-runs pattern (utils.profiling.
     time_chained): each pass perturbs the pulse with the previous pass's
@@ -42,6 +47,10 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
 
     from planeverb_tpu.parallel.mesh import factor_mesh, grid_mesh, pad_to_mesh
     from planeverb_tpu.parallel.solver import simulate_sharded_wide
+    from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
+
+    if solver not in ("wide", "pallas"):
+        raise ValueError(f"unknown solver {solver!r}")
 
     all_devices = jax.devices()
     if device_counts is None:
@@ -65,11 +74,23 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
         k = min(halo, nx_pad // mesh.shape["x"], ny_pad // mesh.shape["y"])
         qx, qy = params.nx // 2, params.ny // 2
 
-        def one_pass(eps):
-            res = simulate_sharded_wide(params, bp, rp, pu * (1.0 + eps),
-                                        jnp.int32(lix), jnp.int32(liy),
-                                        mesh, nx_pad, ny_pad, halo=k)
-            return res.pressure[params.response_length - 1, qx, qy]
+        if solver == "pallas":
+            interp = mesh.devices.flat[0].platform != "tpu"
+
+            def one_pass(eps, mesh=mesh, bp=bp, rp=rp, pu=pu, k=k,
+                         nx_pad=nx_pad, ny_pad=ny_pad):
+                res = simulate_sharded_pallas(
+                    params, bp, rp, pu * (1.0 + eps), jnp.int32(lix),
+                    jnp.int32(liy), mesh, nx_pad, ny_pad, halo=k,
+                    interpret=interp)
+                return res.pressure[params.response_length - 1, qx, qy]
+        else:
+            def one_pass(eps, mesh=mesh, bp=bp, rp=rp, pu=pu, k=k,
+                         nx_pad=nx_pad, ny_pad=ny_pad):
+                res = simulate_sharded_wide(
+                    params, bp, rp, pu * (1.0 + eps), jnp.int32(lix),
+                    jnp.int32(liy), mesh, nx_pad, ny_pad, halo=k)
+                return res.pressure[params.response_length - 1, qx, qy]
 
         float(np.asarray(one_pass(0.0)))  # compile + warm
         t = time_chained(one_pass, n=chain, reps=reps)
@@ -77,6 +98,7 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
             t1 = t * n  # normalize in case the sweep starts above 1 device
         rows.append({
             "devices": n,
+            "solver": solver,
             "mesh": [mesh.shape["x"], mesh.shape["y"]],
             "halo": k,
             "wall_s": round(t, 5),

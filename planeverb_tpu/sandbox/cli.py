@@ -349,7 +349,7 @@ def cmd_scale(args) -> int:
     lix, liy = params.world_to_cell(*_xy(args.listener))
     rows = measure_scaling(params, beta, refl, gaussian_pulse(params),
                            lix, liy, halo=args.halo, reps=args.reps,
-                           chain=args.chain)
+                           chain=args.chain, solver=args.solver)
     for row in rows:
         print(json.dumps(row))
     return 0
@@ -476,6 +476,9 @@ def main(argv=None) -> int:
                    help="timing chains per device count (best taken)")
     p.add_argument("--chain", type=int, default=5,
                    help="dependent passes per timing chain")
+    p.add_argument("--solver", choices=("wide", "pallas"), default="wide",
+                   help="sharded backend: lax.scan wide-halo or fused "
+                        "Pallas rounds (the TPU-rate path)")
     p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")

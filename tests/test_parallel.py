@@ -390,3 +390,21 @@ def test_pipeline_sharded_matches_single_chip():
     np.testing.assert_allclose(np.asarray(out.source_directivity),
                                np.asarray(out_ref.source_directivity),
                                atol=1e-4)
+
+
+def test_scaling_harness_pallas_backend():
+    from planeverb_tpu.parallel.scaling import measure_scaling
+
+    cfg = PlaneverbConfig(grid_size_x=6.0, grid_size_y=6.0,
+                          grid_resolution=275)
+    p = compute_grid_params(cfg)
+    beta, refl = voxelize.voxelize_np(p, [])
+    pulse = oracle.gaussian_pulse(p)
+    lix, liy = p.world_to_cell(3.0, 3.0)
+    rows = measure_scaling(p, beta, refl, pulse, lix, liy,
+                           device_counts=[2], halo=4, reps=1, chain=2,
+                           solver="pallas")
+    assert rows[0]["solver"] == "pallas" and rows[0]["wall_s"] > 0
+    with pytest.raises(ValueError, match="solver"):
+        measure_scaling(p, beta, refl, pulse, lix, liy, device_counts=[1],
+                        solver="nope")
