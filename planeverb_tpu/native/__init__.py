@@ -114,6 +114,9 @@ def load_engine_client_library() -> ctypes.CDLL:
     lib.PlaneverbExit.argtypes = [void_p]
     lib.PlaneverbEmit.restype = i32
     lib.PlaneverbEmit.argtypes = [void_p, f32, f32, f32]
+    lib.PlaneverbEmitEx.restype = i32
+    lib.PlaneverbEmitEx.argtypes = [void_p, f32, f32, f32, f32, f32, f32,
+                                    f32, i32]
     lib.PlaneverbUpdateEmission.argtypes = [void_p, i32, f32, f32, f32]
     lib.PlaneverbEndEmission.argtypes = [void_p, i32]
     lib.PlaneverbAddGeometry.restype = i32
@@ -161,6 +164,12 @@ class NativeEngineClient:
 
     def emit(self, x, y, z) -> int:
         return self._lib.PlaneverbEmit(self._h, x, y, z)
+
+    def emit_ex(self, x, y, z, forward=(1.0, 0.0, 0.0),
+                volume_db: float = 0.0, pattern: int = 0) -> int:
+        """Emit with emit-time attributes (PlaneverbEmitter.cs:21-24)."""
+        return self._lib.PlaneverbEmitEx(self._h, x, y, z, *forward,
+                                         volume_db, pattern)
 
     def update_emission(self, eid, x, y, z) -> None:
         self._lib.PlaneverbUpdateEmission(self._h, eid, x, y, z)

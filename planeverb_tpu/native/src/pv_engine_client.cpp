@@ -213,6 +213,20 @@ int PlaneverbEmit(void* c, float x, float y, float z) {
                        ",\"y\":" + fmt(y) + ",\"z\":" + fmt(z) + "}");
 }
 
+// Emit with the emit-time attributes the reference keeps on its Unity
+// component (PlaneverbEmitter.cs:21-24,89-96): facing vector, volume in dB,
+// directivity pattern index. PlaneverbEmit above stays the reference-ABI
+// position-only form.
+int PlaneverbEmitEx(void* c, float x, float y, float z,
+                    float fx, float fy, float fz,
+                    float volumeDb, int pattern) {
+    return reply_id(c, std::string("{\"cmd\":\"emit\",\"x\":") + fmt(x) +
+                       ",\"y\":" + fmt(y) + ",\"z\":" + fmt(z) +
+                       ",\"forward\":[" + fmt(fx) + "," + fmt(fy) + "," +
+                       fmt(fz) + "],\"volume_db\":" + fmt(volumeDb) +
+                       ",\"pattern\":" + fmt(pattern) + "}");
+}
+
 void PlaneverbUpdateEmission(void* c, int id, float x, float y, float z) {
     fire(c, std::string("{\"cmd\":\"update_emission\",\"id\":") + fmt(id) +
             ",\"x\":" + fmt(x) + ",\"y\":" + fmt(y) + ",\"z\":" + fmt(z) + "}");

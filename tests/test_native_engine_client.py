@@ -93,3 +93,18 @@ def test_background_loop_with_wait_iteration(cabi):
     out = cabi.get_output(eid)
     assert out is not None and out["occlusion"] > 0
     cabi.exit()
+
+
+def test_emit_ex_carries_attributes(cabi, server):
+    """PlaneverbEmitEx forwards the emit-time attributes (forward, volume,
+    directivity pattern) across the C ABI into the engine's emission
+    registry (PlaneverbEmitter.cs:21-24,89-96)."""
+    cabi.init(10.0, 10.0, resolution=275, background=False)
+    eid = cabi.emit_ex(6.0, 0.0, 5.0, forward=(0.0, 0.0, -1.0),
+                       volume_db=-6.0, pattern=1)
+    assert eid >= 0
+    em = server._ctx.emissions.get_emission(eid)
+    assert em.position == (6.0, 0.0, 5.0)
+    assert em.forward == (0.0, 0.0, -1.0)
+    assert em.volume_db == -6.0 and em.pattern == 1
+    assert em.volume_gain == pytest.approx(10 ** (-6.0 / 20.0))
