@@ -93,9 +93,12 @@ class ViewerServer:
             "geometry": [{"id": gid, "cx": b.x, "cy": b.y, "w": b.width,
                           "h": b.height, "absorption": b.absorption}
                          for gid, b in self.ctx.geometry.items()],
-            "emitters": [{"id": eid, "x": pos[0], "z": pos[2]}
-                         for eid, pos in
-                         sorted(self.ctx.emissions.snapshot().items())],
+            "emitters": [{"id": eid, "x": em.position[0],
+                          "z": em.position[2], "volume_db": em.volume_db,
+                          "pattern": em.pattern}
+                         for eid, em in
+                         sorted(self.ctx.emissions.snapshot_emissions()
+                                .items())],
             "listener": {"x": lx, "z": lz},
             "iteration": self.ctx.iteration,
             "running": self.ctx._thread is not None,
@@ -148,12 +151,18 @@ class ViewerServer:
         self.ctx.set_listener_position(float(req["x"]), 0.0, float(req["z"]))
 
     def _cmd_emit(self, req):
-        eid = self.ctx.emissions.emit(float(req["x"]), 0.0, float(req["z"]))
+        eid = self.ctx.emissions.emit(
+            float(req["x"]), 0.0, float(req["z"]),
+            volume_db=float(req.get("volume_db", 0.0)),
+            pattern=int(req.get("pattern", 0)))
         return {"id": eid}
 
     def _cmd_update_emission(self, req):
-        self.ctx.emissions.update(int(req["id"]), float(req["x"]), 0.0,
-                                  float(req["z"]))
+        self.ctx.emissions.update(
+            int(req["id"]), float(req["x"]), 0.0, float(req["z"]),
+            volume_db=(float(req["volume_db"]) if "volume_db" in req
+                       else None),
+            pattern=int(req["pattern"]) if "pattern" in req else None)
 
     def _cmd_end_emission(self, req):
         self.ctx.emissions.end(int(req["id"]))
@@ -440,6 +449,10 @@ function drawIR() {
 function renderEmitters() {
   document.getElementById('emitters').innerHTML = S.emitters.map(e =>
     `<div class="row">#${e.id} (${e.x.toFixed(2)}, ${e.z.toFixed(2)})
+     ${e.volume_db.toFixed(0)} dB ${e.pattern ? 'cardioid' : 'omni'}
+     <button onclick="post({cmd:'update_emission',id:${e.id},x:${e.x},z:${e.z},volume_db:${e.volume_db-3}}).then(refresh)">−3dB</button>
+     <button onclick="post({cmd:'update_emission',id:${e.id},x:${e.x},z:${e.z},volume_db:${e.volume_db+3}}).then(refresh)">+3dB</button>
+     <button onclick="post({cmd:'update_emission',id:${e.id},x:${e.x},z:${e.z},pattern:${e.pattern?0:1}}).then(refresh)">pattern</button>
      <button onclick="post({cmd:'end_emission',id:${e.id}}).then(refresh)">end</button>
      <button onclick="probe=[${e.x},${e.z}];refreshProbe();drawGrid()">probe</button></div>`
   ).join('') || '<span class="dim">none — use "add emitter" mode</span>';

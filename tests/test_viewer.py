@@ -95,10 +95,16 @@ def test_full_editing_session(viewer):
     assert out2["occlusion"] != out["occlusion"]
     assert _cmd(viewer, cmd="remove_geometry", id=gid)["ok"]
 
-    # emitter bookkeeping shows up in state
+    # emitter bookkeeping (incl. emit-time attributes) shows up in state
     s = _get(viewer, "/api/state")
-    assert {"id": eid, "x": 6.5, "z": 5.0} in s["emitters"]
-    assert _cmd(viewer, cmd="update_emission", id=eid, x=6.0, z=5.0)["ok"]
+    [em] = [e for e in s["emitters"] if e["id"] == eid]
+    assert (em["x"], em["z"]) == (6.5, 5.0)
+    assert em["volume_db"] == 0.0 and em["pattern"] == 0
+    assert _cmd(viewer, cmd="update_emission", id=eid, x=6.0, z=5.0,
+                volume_db=-6.0, pattern=1)["ok"]
+    [em] = [e for e in _get(viewer, "/api/state")["emitters"]
+            if e["id"] == eid]
+    assert em["volume_db"] == -6.0 and em["pattern"] == 1 and em["x"] == 6.0
     assert _cmd(viewer, cmd="end_emission", id=eid)["ok"]
     assert _get(viewer, "/api/state")["emitters"] == []
 
