@@ -17,10 +17,12 @@ around the TPU execution model:
 
 from __future__ import annotations
 
+import functools
 import threading
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from planeverb_tpu.config import (GridParams, PlaneverbConfig,
@@ -35,6 +37,29 @@ from planeverb_tpu.types import PlaneverbOutput, invalid_output, vec2
 from planeverb_tpu.utils.profiling import StageTimer
 
 __all__ = ["Context"]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "compute_directions"))
+def _pipeline_packed(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
+                     compute_directions: bool = True):
+    """pipeline_auto + all analyzer grids packed into ONE [gx, gy, 9] array.
+
+    On the tunneled TPU backend every host fetch is a full round-trip
+    (~35 ms); publishing the seven result grids as separate np.asarray calls
+    measured ~235 ms per iteration — 30x the 7.7 ms of actual compute. One
+    packed array = one fetch. Layout: occlusion, wet_gain, rt60, lowpass,
+    direction xy, source_directivity xy, delay_samples.
+    """
+    res, out = pipeline_auto(params, beta, refl, pulse, cix, ciy, efree,
+                             lx, lz, compute_directions=compute_directions)
+    packed = jnp.concatenate([
+        out.occlusion[..., None], out.wet_gain[..., None],
+        out.rt60[..., None], out.lowpass[..., None],
+        out.direction, out.source_directivity,
+        out.delay_samples[..., None],
+    ], axis=-1)
+    return res.pressure, packed
 
 
 def _next_pow2(n: int) -> int:
@@ -147,21 +172,25 @@ class Context:
 
         cix, ciy = self.params.world_to_cell(lx, lz)
         with self.timer.stage("simulate+analyze"):
-            res, out = pipeline_auto(
+            pressure, packed = _pipeline_packed(
                 self.params, self._beta, self._refl, self._pulse, cix, ciy,
                 np.float32(self.efree), np.float32(lx), np.float32(lz),
                 compute_directions=not self._lazy_doa)
         with self.timer.stage("publish"):
+            # single host fetch of the packed result grids (see
+            # _pipeline_packed: per-array fetches cost a tunnel round-trip
+            # each); the [T, nx, ny] recording stays on device.
+            grids = np.asarray(packed)
             published = {
-                "occlusion": np.asarray(out.occlusion),
-                "wet_gain": np.asarray(out.wet_gain),
-                "rt60": np.asarray(out.rt60),
-                "lowpass": np.asarray(out.lowpass),
-                "direction": np.asarray(out.direction),
-                "source_directivity": np.asarray(out.source_directivity),
-                "delay_samples": np.asarray(out.delay_samples),
+                "occlusion": grids[..., 0],
+                "wet_gain": grids[..., 1],
+                "rt60": grids[..., 2],
+                "lowpass": grids[..., 3],
+                "direction": grids[..., 4:6],
+                "source_directivity": grids[..., 6:8],
+                "delay_samples": grids[..., 8],
                 "listener": (lx, lz),
-                "pressure": res.pressure,      # device [T, nx, ny]
+                "pressure": pressure,          # device [T, nx, ny]
             }
         self._published = published            # single atomic assignment
         with self._iter_cond:
@@ -227,11 +256,21 @@ class Context:
         GetVolumeGain() to its samples).
         """
         results: dict[int, tuple[PlaneverbOutput, float]] = {}
-        for eid, em in sorted(self.emissions.snapshot_emissions().items()):
+        live = self.emissions.snapshot_emissions()
+        for eid, em in sorted(live.items()):
             dsp.update_emitter(eid, em.position, em.forward)
             dsp.set_emitter_directivity_pattern(eid, em.pattern)
             results[eid] = (self.result_at(em.position[0], em.position[2]),
                             em.volume_gain)
+        # drop DSP-side state for emitters that ended since the last sync:
+        # emission ids are free-list-reused (EmissionManager.cpp:37-67), and
+        # a reused id must not inherit the dead sound's interpolation state
+        # (current gains/pan, lowpass filter memory, directivity pattern)
+        prev = getattr(dsp, "_pv_synced_ids", ())
+        for eid in prev:
+            if eid not in live:
+                dsp.remove_emitter(eid)
+        dsp._pv_synced_ids = frozenset(live)
         return results
 
     def get_impulse_response(self, x: float, z: float) -> np.ndarray:

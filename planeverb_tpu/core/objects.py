@@ -13,8 +13,14 @@ abuts a cell boundary doesn't paint the extra row.
 :class:`ObjectManager` is that component system as one registry: objects
 hold world-space 3D bounds (one box or merged children) + a material, and
 ``sync()`` performs every object's per-frame Update against the context's
-current listener height. Game loops call ``sync()`` once per frame (or let
-``Context.step`` drive it via ``attach``).
+current listener height. Game loops call ``sync()`` once per frame (after
+moving the listener); ``add``/``update`` sync their own object immediately.
+
+Note the deliberate difference from :func:`planeverb_tpu.scene.
+project_to_slice`: that helper imports a static 3D scene using a ±head_slice
+*band* around the listener and keeps full extents; this runtime implements
+the reference component's exact point-containment test and SIZE_EPSILON
+shave (PlaneverbObject.cs:73,163-200) for per-frame object tracking.
 """
 
 from __future__ import annotations
@@ -52,22 +58,27 @@ class ObjectManager:
         PlaneverbObject.cs:184-192). Returns an object id (not a geometry
         id — the geometry binding tracks head-slice membership)."""
         box = self._merge(bounds, absorption)
+        listener_y = self.ctx.get_listener_position()[1]
         with self._lock:
             oid = self._next
             self._next += 1
-            self._objects[oid] = _ObjectRecord(bounds=box)
-        self.sync()
+            rec = _ObjectRecord(bounds=box)
+            self._objects[oid] = rec
+            self._sync_record(rec, listener_y, {})
         return oid
 
     def update(self, oid: int, bounds, absorption: float | None = None) -> None:
         """Move/resize an object (the per-frame transform change path)."""
         box = self._merge(bounds, absorption)
+        listener_y = self.ctx.get_listener_position()[1]
         with self._lock:
             rec = self._objects.get(oid)
             if rec is None:
                 raise KeyError(f"no object id {oid}")
             rec.bounds = box
-        self.sync()
+            # per-object sync: M moving objects per frame cost O(M), not
+            # O(M*N); listener moves re-test everything via sync()
+            self._sync_record(rec, listener_y, {})
 
     def remove(self, oid: int) -> None:
         """OnDestroy analog (PlaneverbObject.cs:157-163)."""
@@ -96,27 +107,32 @@ class ObjectManager:
         stats = {"added": 0, "updated": 0, "removed": 0, "culled": 0}
         with self._lock:
             for rec in self._objects.values():
-                b = rec.bounds
-                spans = (b.y - b.height * 0.5 <= listener_y
-                         <= b.y + b.height * 0.5)
-                if spans:
-                    box = AABB(b.x, b.z,
-                               max(b.width - SIZE_EPSILON, 0.0),
-                               max(b.depth - SIZE_EPSILON, 0.0),
-                               b.absorption)
-                    if rec.gid is None:
-                        rec.gid = self.ctx.geometry.add(box)
-                        stats["added"] += 1
-                    else:
-                        self.ctx.geometry.update(rec.gid, box)
-                        stats["updated"] += 1
-                elif rec.gid is not None:
-                    self.ctx.geometry.remove(rec.gid)
-                    rec.gid = None
-                    stats["removed"] += 1
-                else:
-                    stats["culled"] += 1
+                self._sync_record(rec, listener_y, stats)
         return stats
+
+    def _sync_record(self, rec: _ObjectRecord, listener_y: float,
+                     stats: dict) -> None:
+        """One object's Update body (caller holds the lock)."""
+        b = rec.bounds
+        spans = (b.y - b.height * 0.5 <= listener_y
+                 <= b.y + b.height * 0.5)
+        if spans:
+            box = AABB(b.x, b.z,
+                       max(b.width - SIZE_EPSILON, 0.0),
+                       max(b.depth - SIZE_EPSILON, 0.0),
+                       b.absorption)
+            if rec.gid is None:
+                rec.gid = self.ctx.geometry.add(box)
+                stats["added"] = stats.get("added", 0) + 1
+            else:
+                self.ctx.geometry.update(rec.gid, box)
+                stats["updated"] = stats.get("updated", 0) + 1
+        elif rec.gid is not None:
+            self.ctx.geometry.remove(rec.gid)
+            rec.gid = None
+            stats["removed"] = stats.get("removed", 0) + 1
+        else:
+            stats["culled"] = stats.get("culled", 0) + 1
 
     @staticmethod
     def _merge(bounds, absorption: float | None) -> AABB3D:

@@ -107,14 +107,12 @@ class AudioSourceManager:
         (PlaneverbEmitter.cs:61-66)."""
         synced = self.ctx.sync_dsp(self.dsp)
         finished = []
-        submitted = 0
         for sid, src in self._sources.items():
             block = src.next_block(frames)
             if src.eid in synced:
                 out, gain = synced[src.eid]
                 self.dsp.submit_source(src.eid, out,
                                        block * np.float32(gain))
-                submitted += 1
             if not src.playing:
                 finished.append(sid)
         for sid in finished:
@@ -122,8 +120,10 @@ class AudioSourceManager:
             if end_finished_emissions:
                 self.ctx.emissions.end(src.eid)
 
-        if not submitted:
-            return np.zeros((frames, 2), np.float32)
+        # the buses and reverbs run EVERY callback regardless of live
+        # sources (PlaneverbReverb.cs:45-101): the comb/allpass state holds
+        # decaying tails that must keep flushing into the mix after the
+        # last source ends, not freeze until the next one starts
         dry, wa, wb, wc = self.dsp.get_output()
         mix = np.array(dry[:frames], np.float32, copy=True)
         for rev, bus in zip(self.reverbs, (wa, wb, wc)):

@@ -125,6 +125,8 @@ def cmd_ir(args) -> int:
     sx, sz = _xy(args.source[0])  # fail fast, before the sim
     ctx = _run_context(args)
     ir = ctx.get_impulse_response(sx, sz)
+    if ir.size == 0:
+        raise SystemExit(f"error: source ({sx}, {sz}) is outside the grid")
     if args.plot:
         peak = float(np.abs(ir).max()) or 1.0
         print(f"impulse response, linear [{-peak:.3g}, {peak:.3g}]:")
@@ -213,6 +215,8 @@ def cmd_convolve(args) -> int:
     sx, sz = _xy(args.source[0])  # fail fast, before the sim
     ctx = _run_context(args)
     ir = ctx.get_impulse_response(sx, sz)
+    if ir.size == 0:
+        raise SystemExit(f"error: source ({sx}, {sz}) is outside the grid")
     if float(np.abs(ir).max()) == 0.0:
         raise SystemExit("error: simulated IR is silent at that position")
 

@@ -128,6 +128,10 @@ class RealtimePlayer:
             return block * np.float32(gain)
 
         synced = self.ctx.sync_dsp(self.dsp)
+        if self.eid not in synced:
+            # the emission ended between the snapshot reads (live context on
+            # another thread) — fall back to the bypass path for this block
+            return block * np.float32(gain)
         out, _ = synced[self.eid]
         self.dsp.submit_source(self.eid, out, block * np.float32(gain))
         dry, wa, wb, wc = self.dsp.get_output()

@@ -87,8 +87,12 @@ def test_two_sources_mix_and_finish(ctx):
     mgr.process_block(512)
     assert mgr.active_sources() == []
     assert ctx.emissions.get(e1) is None
-    # no sources left -> silence
-    assert not mgr.process_block(512).any()
+    # no sources left: the reverb tails keep flushing every callback
+    # (PlaneverbReverb runs regardless of live sources) and decay away
+    tail0 = float(np.abs(mgr.process_block(512)).max())
+    for _ in range(200):
+        tail = float(np.abs(mgr.process_block(512)).max())
+    assert tail < tail0 * 0.5 or tail0 == 0.0
 
 
 def test_single_source_matches_realtime_player(ctx):
@@ -123,3 +127,29 @@ def test_python_dsp_path(ctx):
     finally:
         ctx.emissions.end(eid)
     assert m.shape == (512, 2) and np.abs(m).max() > 0
+
+
+def test_eid_reuse_does_not_inherit_dsp_state(ctx):
+    """Emission ids are free-list-reused; sync_dsp must drop the dead
+    emitter's DSP interpolation state so the reused id starts fresh
+    (a CARDIOID pattern or stale pan from the old sound must not apply)."""
+    from planeverb_tpu.dsp import DSPContext, DirectivityPattern
+    from planeverb_tpu.config import PlaneverbDSPConfig
+
+    dsp = DSPContext(PlaneverbDSPConfig(max_callback_length=512))
+    dsp.set_listener_transform((5.0, 0.0, 5.0), (1.0, 0.0, 0.0))
+
+    e1 = ctx.emissions.emit(6.5, 0.0, 5.0,
+                            pattern=DirectivityPattern.CARDIOID)
+    ctx.sync_dsp(dsp)
+    assert dsp._target[e1].pattern == DirectivityPattern.CARDIOID
+    ctx.emissions.end(e1)
+    ctx.sync_dsp(dsp)                     # the end is observed here
+    assert e1 not in dsp._target and e1 not in dsp._current
+
+    e2 = ctx.emissions.emit(4.0, 0.0, 5.0)   # free-list reuses e1's id
+    assert e2 == e1
+    ctx.sync_dsp(dsp)
+    assert dsp._target[e2].pattern == DirectivityPattern.OMNI
+    ctx.emissions.end(e2)
+    ctx.sync_dsp(dsp)
