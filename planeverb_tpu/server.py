@@ -108,7 +108,10 @@ class EngineServer:
                                         int(Resolution.DEFAULT))),
             grid_offset_x=float(req.get("grid_offset_x", 0.0)),
             grid_offset_y=float(req.get("grid_offset_y", 0.0)))
-        self._ctx = Context(cfg)
+        # game-engine clients query per emitter (GetOutput), so the
+        # cells-publish mode (fetch only the live emitters' rows; ~3x
+        # faster refresh on the TPU tunnel) is the natural server default
+        self._ctx = Context(cfg, publish=req.get("publish", "cells"))
         if req.get("background", True):
             self._ctx.start()
         return {"ok": True, "fs": self._ctx.params.fs,

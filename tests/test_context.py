@@ -208,3 +208,41 @@ def test_session_roundtrip_keeps_emitter_attributes(tmp_path):
     assert em.position == (6.5, 0.0, 5.0)
     assert em.forward == (0.0, 0.0, -1.0)
     assert em.volume_db == -12.0 and em.pattern == 1
+
+
+def test_cells_publish_mode_matches_grids():
+    """publish='cells' (per-emitter row fetch, grid kept on device) must
+    answer emitter queries and arbitrary probes identically to the default
+    full-grid publish."""
+    ctx_g = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                       lazy_directions=False)
+    ctx_c = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                       publish="cells")
+    eids = []
+    for ctx in (ctx_g, ctx_c):
+        ctx.set_listener_position(5.0, 0.0, 5.0)
+        eids.append([ctx.emissions.emit(6.5, 0.0, 5.0),
+                     ctx.emissions.emit(4.0, 0.0, 5.0)])
+        ctx.step()
+    for e_g, e_c in zip(*eids):
+        a, b = ctx_g.get_output(e_g), ctx_c.get_output(e_c)
+        assert a.valid and b.valid
+        for f in ("occlusion", "wet_gain", "rt60", "lowpass"):
+            assert getattr(a, f) == pytest.approx(getattr(b, f), rel=1e-6), f
+        assert a.direction.x == pytest.approx(b.direction.x, abs=1e-6)
+    # arbitrary probe falls back to an on-demand single-row fetch
+    a = ctx_g.result_at(5.5, 6.0)
+    b = ctx_c.result_at(5.5, 6.0)
+    assert b.valid and a.occlusion == pytest.approx(b.occlusion, rel=1e-6)
+    # and is memoized in the snapshot cache
+    cx, cy = ctx_c.params.world_to_cell(5.5, 6.0)
+    assert (cx, cy) in ctx_c._published["cells"]
+    # out-of-grid still invalid; IR accessor still works on device pressure
+    assert not ctx_c.result_at(500.0, 500.0).valid
+    ir = ctx_c.get_impulse_response(6.5, 5.0)
+    assert ir.size == ctx_c.params.response_length and np.abs(ir).max() > 0
+    # lazy directions are incompatible by construction
+    with pytest.raises(ValueError, match="cells"):
+        pv.Context(CFG, publish="cells", lazy_directions=True)
+    with pytest.raises(ValueError, match="publish"):
+        pv.Context(CFG, publish="nope")
