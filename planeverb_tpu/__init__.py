@@ -20,7 +20,8 @@ Quick start::
 
 from planeverb_tpu.config import (CONSTANTS, MATERIALS, BoundaryType,
                                   PlaneverbConfig, PlaneverbDSPConfig,
-                                  Resolution, compute_grid_params)
+                                  Resolution, compute_grid_params,
+                                  material_r)
 from planeverb_tpu.core.context import Context
 from planeverb_tpu.core.objects import ObjectManager
 from planeverb_tpu.scene import (AABB, AABB3D, Scene, demo_scene, load_pv,
@@ -34,6 +35,6 @@ __all__ = [
     "AABB", "AABB3D", "BoundaryType", "CONSTANTS", "Context", "MATERIALS",
     "ObjectManager", "PlaneverbConfig", "PlaneverbDSPConfig",
     "PlaneverbOutput", "Resolution", "Scene", "compute_grid_params",
-    "demo_scene", "load_pv", "merge_bounds", "save_pv",
+    "demo_scene", "load_pv", "material_r", "merge_bounds", "save_pv",
     "load_session", "save_session", "__version__",
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "gaussian_pulse",
     "MATERIALS",
     "AbsorptionCoefficients",
+    "material_r",
 ]
 
 
@@ -315,3 +316,30 @@ class AbsorptionCoefficients:
 
 
 MATERIALS = AbsorptionCoefficients()
+
+
+def material_r(material) -> float:
+    """Material name or numeric value -> reflection coefficient R.
+
+    The reference maps a material enum to an absorption coefficient per
+    object (PlaneverbObject.cs:203-244); this is the equivalent lookup for
+    every place the framework accepts an absorption/R value: floats (and
+    numeric strings) pass through, names resolve case-insensitively against
+    the 38-entry :data:`MATERIALS` table.
+
+        material_r(0.95)              -> 0.95
+        material_r("CONCRETE_ROUGH")  -> 0.969535971
+        material_r("grass")           -> 0.547722558
+    """
+    if isinstance(material, str):
+        key = material.strip().upper()
+        if hasattr(MATERIALS, key):
+            return float(getattr(MATERIALS, key))
+        try:
+            return float(material)
+        except ValueError:
+            names = [f.name for f in dataclasses.fields(MATERIALS)]
+            raise ValueError(
+                f"unknown material {material!r}; known names: "
+                f"{', '.join(names)}") from None
+    return float(material)

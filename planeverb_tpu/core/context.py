@@ -155,6 +155,13 @@ class Context:
 
         self._thread: threading.Thread | None = None
         self._running = False
+        # serializes whole iterations: the server exposes a manual `step`
+        # command alongside the background loop, and _sync_fields / the
+        # timer / _published are written for one stepper at a time. The
+        # reference tolerates the equivalent race (PvContext.cpp:63-94
+        # reads listener/emitters unguarded); here concurrent steppers
+        # simply queue.
+        self._step_lock = threading.Lock()
         self.error: BaseException | None = None  # set if the loop dies
 
         if scene is not None:
@@ -214,8 +221,21 @@ class Context:
             self._beta, self._refl = beta, refl
             self._fields_version = version
 
+    @property
+    def background_running(self) -> bool:
+        """True while the background loop thread owns the iteration cadence."""
+        return self._thread is not None and self._running
+
     def step(self) -> None:
-        """One background-loop iteration: sim -> analyze -> publish."""
+        """One background-loop iteration: sim -> analyze -> publish.
+
+        Thread-safe: concurrent callers serialize on a step lock, so a
+        manual step can never interleave with the background loop's.
+        """
+        with self._step_lock:
+            self._step_locked()
+
+    def _step_locked(self) -> None:
         lx, ly, lz = self.get_listener_position()
         self._sync_fields()
 

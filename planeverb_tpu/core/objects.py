@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 
+from planeverb_tpu.config import material_r
 from planeverb_tpu.scene import AABB, AABB3D, merge_bounds
 
 __all__ = ["ObjectManager", "SIZE_EPSILON"]
@@ -52,11 +53,14 @@ class ObjectManager:
         self._next = 0
 
     # -------------------------------------------------------------- objects
-    def add(self, bounds, absorption: float | None = None) -> int:
+    def add(self, bounds, absorption: float | str | None = None) -> int:
         """Register an object. ``bounds`` is an AABB3D or an iterable of
         child-collider AABB3Ds (merged like GetMaxBounds,
-        PlaneverbObject.cs:184-192). Returns an object id (not a geometry
-        id — the geometry binding tracks head-slice membership)."""
+        PlaneverbObject.cs:184-192). ``absorption`` is an R value or a
+        material name from the 38-entry table (the reference's material
+        enum -> coefficient mapping, PlaneverbObject.cs:203-244). Returns
+        an object id (not a geometry id — the geometry binding tracks
+        head-slice membership)."""
         box = self._merge(bounds, absorption)
         listener_y = self.ctx.get_listener_position()[1]
         with self._lock:
@@ -67,7 +71,8 @@ class ObjectManager:
             self._sync_record(rec, listener_y, {})
         return oid
 
-    def update(self, oid: int, bounds, absorption: float | None = None) -> None:
+    def update(self, oid: int, bounds,
+               absorption: float | str | None = None) -> None:
         """Move/resize an object (the per-frame transform change path)."""
         box = self._merge(bounds, absorption)
         listener_y = self.ctx.get_listener_position()[1]
@@ -135,7 +140,9 @@ class ObjectManager:
             stats["culled"] = stats.get("culled", 0) + 1
 
     @staticmethod
-    def _merge(bounds, absorption: float | None) -> AABB3D:
+    def _merge(bounds, absorption: float | str | None) -> AABB3D:
+        if absorption is not None:
+            absorption = material_r(absorption)
         if isinstance(bounds, AABB3D):
             if absorption is not None:
                 bounds = dataclasses.replace(bounds, absorption=absorption)

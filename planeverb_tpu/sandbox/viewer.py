@@ -30,7 +30,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from planeverb_tpu.config import PlaneverbConfig
+from planeverb_tpu.config import PlaneverbConfig, material_r
 from planeverb_tpu.core.context import Context
 from planeverb_tpu.ops import voxelize
 from planeverb_tpu.scene import AABB, DEMO_SCENES, Scene, demo_scene, save_pv
@@ -206,8 +206,9 @@ class ViewerServer:
 
 
 def _box(req: dict) -> AABB:
+    # "absorption" accepts an R float or a material name ("CONCRETE_ROUGH")
     return AABB(float(req["cx"]), float(req["cy"]), float(req["w"]),
-                float(req["h"]), float(req.get("absorption", 0.9)))
+                float(req["h"]), material_r(req.get("absorption", 0.9)))
 
 
 def _db(gain: float) -> float:

@@ -108,7 +108,15 @@ class Scene:
 
 
 def loads_pv(text: str, name: str = "") -> Scene:
-    """Parse the sandbox .pv text format (Editor.cpp:245-281)."""
+    """Parse the sandbox .pv text format (Editor.cpp:245-281).
+
+    Extension over the reference format: the absorption column also accepts
+    a material name from the 38-entry table (e.g. ``CONCRETE_ROUGH``) in
+    place of a numeric R value; reference-written files are all numeric and
+    parse unchanged.
+    """
+    from planeverb_tpu.config import material_r
+
     tokens = text.split()
     it = iter(tokens)
     count = int(next(it))
@@ -119,7 +127,7 @@ def loads_pv(text: str, name: str = "") -> Scene:
         y = float(next(it))
         w = float(next(it))
         h = float(next(it))
-        a = float(next(it))
+        a = material_r(next(it))
         boxes.append(AABB(x, y, w, h, a))
     return Scene(boxes=boxes, name=name)
 

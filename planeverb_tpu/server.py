@@ -28,7 +28,7 @@ import threading
 
 import numpy as np
 
-from planeverb_tpu.config import PlaneverbConfig, Resolution
+from planeverb_tpu.config import PlaneverbConfig, Resolution, material_r
 from planeverb_tpu.core.context import Context
 from planeverb_tpu.scene import AABB
 
@@ -170,15 +170,20 @@ class EngineServer:
                                        out.source_directivity.y]}
 
     def _add_geometry(self, req):
+        # "absorption" accepts an R float OR a material name (e.g.
+        # "CONCRETE_ROUGH") resolved against the 38-entry table — the
+        # reference's material enum plumbing (PlaneverbObject.cs:203-244)
         gid = self._ctx.geometry.add(AABB(
             float(req["x"]), float(req["y"]), float(req["width"]),
-            float(req["height"]), float(req.get("absorption", 0.989949494))))
+            float(req["height"]),
+            material_r(req.get("absorption", 0.989949494))))
         return {"ok": True, "id": gid}
 
     def _update_geometry(self, req):
         self._ctx.geometry.update(int(req["id"]), AABB(
             float(req["x"]), float(req["y"]), float(req["width"]),
-            float(req["height"]), float(req.get("absorption", 0.989949494))))
+            float(req["height"]),
+            material_r(req.get("absorption", 0.989949494))))
         return {"ok": True}
 
     def _remove_geometry(self, req):
@@ -192,6 +197,15 @@ class EngineServer:
         return {"ok": True}
 
     def _step(self, req):
+        # Manual stepping and the background loop are mutually exclusive:
+        # Context.step() itself is lock-serialized, but a client mixing the
+        # two cadences almost certainly wants wait_iteration — reject rather
+        # than silently queue behind the loop.
+        if self._ctx.background_running:
+            return {"ok": False,
+                    "error": "background loop running; use wait_iteration "
+                             "(or init with background=false to step "
+                             "manually)"}
         self._ctx.step()
         return {"ok": True, "iteration": self._ctx.iteration}
 

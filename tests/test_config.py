@@ -63,3 +63,17 @@ def test_analysis_windows():
     assert p.source_dir_samples == int(0.005 * 1443)
     assert p.wet_gain_samples == int(0.080 * 1443)
     assert p.schroeder_offset_samples == int(0.01 * 1443)
+
+
+def test_material_r_lookup():
+    """Name->R plumbing (the reference's material enum -> coefficient
+    mapping, PlaneverbObject.cs:203-244)."""
+    from planeverb_tpu.config import MATERIALS, material_r
+
+    assert material_r("CONCRETE_ROUGH") == MATERIALS.CONCRETE_ROUGH
+    assert material_r("grass") == MATERIALS.GRASS          # case-insensitive
+    assert material_r(" Snow_Fresh ") == MATERIALS.SNOW_FRESH
+    assert material_r(0.5) == 0.5                          # float passthrough
+    assert material_r("0.25") == 0.25                      # numeric string
+    with pytest.raises(ValueError, match="unknown material"):
+        material_r("UNOBTAINIUM")

@@ -79,6 +79,42 @@ def test_background_thread():
     assert "simulate+analyze" in prof
 
 
+def test_concurrent_steps_serialize():
+    """Manual step() racing the background loop must never interleave:
+    iterations are lock-serialized, so N threads x K steps + a live
+    background loop still count every iteration exactly once."""
+    import threading
+
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_position(5.0, 0.0, 5.0)
+    ctx.step()  # compile once before the stampede
+
+    n_threads, k = 4, 3
+    errors = []
+
+    def stepper():
+        try:
+            for _ in range(k):
+                ctx.step()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ctx.start()
+    threads = [threading.Thread(target=stepper) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert ctx.wait_for_iteration(ctx.iteration + 1, timeout=120.0)
+    ctx.stop()
+
+    assert not errors
+    assert ctx.error is None
+    # every manual step plus >= the two witnessed loop iterations landed
+    assert ctx.iteration >= n_threads * k + 2
+    assert ctx.result_at(6.0, 5.0).valid
+
+
 def test_api_facade():
     api.init(CFG, scene=pv.demo_scene("SmallRoom"), background=False)
     try:

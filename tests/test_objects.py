@@ -130,3 +130,18 @@ def test_objects_change_acoustics():
     ctx.step()
     cleared = ctx.result_at(8.0, 5.0).occlusion
     assert abs(cleared - open_occ) < 1e-5 * max(open_occ, 1.0)
+
+
+def test_object_material_names():
+    """ObjectManager accepts material names where it accepts R floats
+    (PlaneverbObject.cs:203-244 enum plumbing)."""
+    from planeverb_tpu.config import MATERIALS
+
+    ctx = _ctx()
+    om = pv.ObjectManager(ctx)
+    oid = om.add(pv.AABB3D(5.0, 1.0, 5.0, 1.0, 4.0, 1.0),
+                 absorption="WOOD_PANEL")
+    assert om.get_bounds(oid).absorption == MATERIALS.WOOD_PANEL
+    om.update(oid, pv.AABB3D(5.0, 1.0, 5.0, 1.0, 4.0, 1.0),
+              absorption="drapery_heavy")
+    assert om.get_bounds(oid).absorption == MATERIALS.DRAPERY_HEAVY

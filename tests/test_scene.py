@@ -70,3 +70,14 @@ def test_merge_bounds_encapsulates_children():
 
     with pytest.raises(ValueError):
         merge_bounds([])
+
+
+def test_pv_material_names():
+    """The .pv absorption column accepts material names (extension over the
+    reference's numeric-only format, which still parses unchanged)."""
+    from planeverb_tpu.config import MATERIALS
+    from planeverb_tpu.scene import loads_pv
+
+    s = loads_pv("2\n0 1 2 3 4 CONCRETE_ROUGH\n1 5 6 7 8 0.5\n")
+    assert s.boxes[0].absorption == MATERIALS.CONCRETE_ROUGH
+    assert s.boxes[1].absorption == 0.5

@@ -64,6 +64,44 @@ def test_full_session(client):
     assert client.call("exit")["ok"]
 
 
+def test_geometry_material_names(server, client):
+    """add/update_geometry accept material names where floats are accepted
+    (name->R against the 38-entry table, PlaneverbObject.cs:203-244)."""
+    from planeverb_tpu.config import MATERIALS
+
+    r = client.call("init", grid_size_x=6, grid_size_y=6,
+                    grid_resolution=275, background=False)
+    assert r["ok"]
+    r = client.call("add_geometry", x=3.0, y=3.0, width=1.0, height=1.0,
+                    absorption="CONCRETE_ROUGH")
+    assert r["ok"]
+    gid = r["id"]
+    ctx = server._ctx
+    assert ctx.geometry.get(gid).absorption == MATERIALS.CONCRETE_ROUGH
+    r = client.call("update_geometry", id=gid, x=3.0, y=3.0, width=1.0,
+                    height=1.0, absorption="grass")
+    assert r["ok"]
+    assert ctx.geometry.get(gid).absorption == MATERIALS.GRASS
+    r = client.call("add_geometry", x=1.0, y=1.0, width=1.0, height=1.0,
+                    absorption="NOT_A_MATERIAL")
+    assert not r["ok"] and "unknown material" in r["error"]
+    client.call("exit")
+
+
+def test_manual_step_rejected_while_background(client):
+    """The step command and the background loop are mutually exclusive:
+    Context.step() is lock-serialized, and the server refuses to mix the
+    two cadences (use wait_iteration against a running loop)."""
+    r = client.call("init", grid_size_x=6, grid_size_y=6,
+                    grid_resolution=275, background=True)
+    assert r["ok"]
+    r = client.call("step")
+    assert not r["ok"] and "background" in r["error"]
+    r = client.call("wait_iteration", n=1, timeout=120.0)
+    assert r["ok"] and r["iteration"] >= 1
+    client.call("exit")
+
+
 def test_errors_do_not_kill_connection(client):
     r = client.call("get_output", id=0)       # before init
     assert not r["ok"] and "init" in r["error"]
