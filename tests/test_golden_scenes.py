@@ -116,11 +116,23 @@ def test_source_directivity(golden):
 
 
 def test_direction(golden):
+    """DOA parity: the pointer-jumping reformulation (ops/doa.py) must match
+    the oracle's greedy walk (Analyzer.cpp:340-431) on every cell.
+
+    History: this test originally allowed 1% of cells to disagree as
+    precautionary slack for delay-tie plateaus. Characterization (round 3)
+    measured ZERO disagreeing cells on all 11 scenes: the jump map's
+    successor function uses the same neighbor order and strict-< tie-break
+    as the walk, delays are integer-valued (pinned exactly by test_delay),
+    and the hop-stop commit quirk is reproduced post-fixpoint — so the two
+    formulations agree cell-for-cell. The remaining 1e-4 is only for the
+    final unit-vector normalization arithmetic (jnp vs np f32 sqrt).
+    """
     name, p, out, ref = golden
     eng, o = _pair(p, out, ref, "direction")
     diff = np.abs(eng - o).max(axis=-1)
-    frac_bad = float((diff > 1e-4).mean())
-    assert frac_bad <= 0.01, (name, frac_bad)
+    n_bad = int((diff > 1e-4).sum())
+    assert n_bad == 0, (name, n_bad, float(diff.max()))
 
 
 def test_rectangular_grid_parity():
