@@ -37,6 +37,8 @@ extern int PlaneverbAddGeometry(void* c, float x, float y, float w, float h,
 extern void PlaneverbSetListenerPosition(void* c, float x, float y, float z);
 extern int PlaneverbStep(void* c);
 extern int PlaneverbGetOutput(void* c, int id, PlaneverbOutputC* out);
+extern int PlaneverbGetOutputs(void* c, const int* ids, int count,
+                               PlaneverbOutputC* outs);
 
 int main(int argc, char** argv) {
     const char* host = argc > 1 ? argv[1] : "127.0.0.1";
@@ -73,6 +75,25 @@ int main(int argc, char** argv) {
                out.sourceDirectivityX, out.sourceDirectivityY);
     } else {
         printf("no valid output for emitter %d\n", source);
+    }
+
+    /* game-scale per-frame polling: 50 emitters, ONE round-trip per frame
+     * (the reference polls each emitter per frame through GetOutput,
+     * PlaneverbAudioSource.cs:171-183 — fine in-process, 50 round-trips
+     * over a socket; PlaneverbGetOutputs batches them) */
+    {
+        enum { N = 50 };
+        int ids[N];
+        PlaneverbOutputC outs[N];
+        for (int i = 0; i < N; i++) {
+            float x = 3.5f + 3.0f * (float)(i % 10) / 9.0f;
+            float z = 3.5f + 3.0f * (float)(i / 10) / 4.0f;
+            ids[i] = PlaneverbEmit(pv, x, 0.0f, z);
+        }
+        PlaneverbStep(pv);
+        int valid = PlaneverbGetOutputs(pv, ids, N, outs);
+        printf("batched poll: %d/%d emitters valid in one call; "
+               "emitter 0 occlusion %.4f\n", valid, N, outs[0].occlusion);
     }
 
     PlaneverbExit(pv);

@@ -131,6 +131,12 @@ def load_engine_client_library() -> ctypes.CDLL:
     lib.PlaneverbWaitIteration.argtypes = [void_p, i32, f32]
     lib.PlaneverbGetOutput.restype = i32
     lib.PlaneverbGetOutput.argtypes = [void_p, i32, ctypes.POINTER(_OutputC)]
+    lib.PlaneverbGetOutputs.restype = i32
+    lib.PlaneverbGetOutputs.argtypes = [void_p, ctypes.POINTER(i32), i32,
+                                        ctypes.POINTER(_OutputC)]
+    lib.PlaneverbAddGeometryMaterial.restype = i32
+    lib.PlaneverbAddGeometryMaterial.argtypes = [void_p, f32, f32, f32, f32,
+                                                 ctypes.c_char_p]
     _ENGINE_LIB = lib
     return lib
 
@@ -178,6 +184,12 @@ class NativeEngineClient:
         self._lib.PlaneverbEndEmission(self._h, eid)
 
     def add_geometry(self, x, y, width, height, absorption) -> int:
+        """``absorption`` may be an R float or a material name (the name
+        form crosses PlaneverbAddGeometryMaterial; resolution happens
+        server-side against the 38-entry table)."""
+        if isinstance(absorption, str):
+            return self._lib.PlaneverbAddGeometryMaterial(
+                self._h, x, y, width, height, absorption.encode())
         return self._lib.PlaneverbAddGeometry(self._h, x, y, width, height,
                                               absorption)
 
@@ -208,6 +220,29 @@ class NativeEngineClient:
                 "direction": (out.directionX, out.directionY),
                 "source_directivity": (out.sourceDirectivityX,
                                        out.sourceDirectivityY)}
+
+    def get_outputs(self, ids):
+        """Batched per-frame poll (PlaneverbGetOutputs): all ids' params in
+        ONE server round-trip. Returns a list aligned with ``ids`` of
+        param dicts (None for invalid emitters)."""
+        n = len(ids)
+        arr = (ctypes.c_int * n)(*ids)
+        outs = (_OutputC * n)()
+        got = self._lib.PlaneverbGetOutputs(self._h, arr, n, outs)
+        if got < 0:
+            raise ConnectionError("get_outputs protocol failure")
+        result = []
+        for o in outs:
+            if o.occlusion == -1.0:
+                result.append(None)
+            else:
+                result.append({
+                    "occlusion": o.occlusion, "wet_gain": o.wetGain,
+                    "rt60": o.rt60, "lowpass": o.lowpass,
+                    "direction": (o.directionX, o.directionY),
+                    "source_directivity": (o.sourceDirectivityX,
+                                           o.sourceDirectivityY)})
+        return result
 
 
 class NativeReverb:

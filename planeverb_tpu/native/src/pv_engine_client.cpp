@@ -310,4 +310,69 @@ int PlaneverbGetOutput(void* c, int id, PlaneverbOutputC* out) {
     return 1;
 }
 
+// Batched per-frame poll: every emitter's params in ONE round-trip. The
+// reference's per-frame pattern polls each emitter through GetOutput
+// (PlaneverbAudioSource.cs:171-183) — in-process that is free; over the
+// socket each id costs a round-trip, so game loops should call this once
+// per frame with all live ids. Fills outs[0..count); invalid emitters get
+// the occlusion -1 sentinel, zero-filled. Returns the number of VALID
+// outputs, or -1 on protocol failure.
+int PlaneverbGetOutputs(void* c, const int* ids, int count,
+                        PlaneverbOutputC* outs) {
+    for (int i = 0; i < count; i++) {
+        memset(&outs[i], 0, sizeof outs[i]);
+        outs[i].occlusion = -1.0f;
+    }
+    if (count <= 0) return 0;
+    std::string req = "{\"cmd\":\"get_outputs\",\"ids\":[";
+    for (int i = 0; i < count; i++) {
+        if (i) req += ",";
+        req += fmt(ids[i]);
+    }
+    req += "]}";
+    std::string resp;
+    if (!roundtrip(c, req, &resp) || !json_true(resp, "ok")) return -1;
+    // rows: 9 floats per id — occ, wet, rt60, lp, dir xy, srcdir xy, valid
+    size_t pos;
+    if (!find_key(resp, "rows", &pos)) return -1;
+    while (pos < resp.size() && (resp[pos] == ' ' || resp[pos] == '['))
+        pos++;
+    int n_valid = 0;
+    for (int i = 0; i < count; i++) {
+        double v[9];
+        for (int k = 0; k < 9; k++) {
+            char* end = nullptr;
+            v[k] = strtod(resp.c_str() + pos, &end);
+            if (end == resp.c_str() + pos) return -1;
+            pos = static_cast<size_t>(end - resp.c_str());
+            while (pos < resp.size() &&
+                   (resp[pos] == ',' || resp[pos] == ' '))
+                pos++;
+        }
+        if (v[8] != 0.0) {
+            outs[i].occlusion = static_cast<float>(v[0]);
+            outs[i].wetGain = static_cast<float>(v[1]);
+            outs[i].rt60 = static_cast<float>(v[2]);
+            outs[i].lowpass = static_cast<float>(v[3]);
+            outs[i].directionX = static_cast<float>(v[4]);
+            outs[i].directionY = static_cast<float>(v[5]);
+            outs[i].sourceDirectivityX = static_cast<float>(v[6]);
+            outs[i].sourceDirectivityY = static_cast<float>(v[7]);
+            n_valid++;
+        }
+    }
+    return n_valid;
+}
+
+// AddGeometry with a material name resolved server-side against the
+// 38-entry table (PlaneverbObject.cs:203-244 enum analog). ``material``
+// must be a table name like "CONCRETE_ROUGH" (or a numeric string).
+int PlaneverbAddGeometryMaterial(void* c, float x, float y, float width,
+                                 float height, const char* material) {
+    return reply_id(c, std::string("{\"cmd\":\"add_geometry\",\"x\":") +
+                       fmt(x) + ",\"y\":" + fmt(y) + ",\"width\":" +
+                       fmt(width) + ",\"height\":" + fmt(height) +
+                       ",\"absorption\":\"" + material + "\"}");
+}
+
 }  // extern "C"

@@ -169,6 +169,33 @@ class EngineServer:
                 "source_directivity": [out.source_directivity.x,
                                        out.source_directivity.y]}
 
+    def _get_outputs(self, req):
+        """Batched per-frame query: every requested (default: every live)
+        emitter's params in ONE round-trip.
+
+        The reference polls every emitter every frame through per-id
+        GetOutput calls (PlaneverbAudioSource.cs:171-183) — in-process that
+        is free, but over a socket each id costs a round-trip. Returns a
+        flat ``rows`` array of 9 floats per id (occlusion, wet_gain, rt60,
+        lowpass, direction xy, source_directivity xy, valid-flag) so
+        minimal C parsers need no nested JSON.
+        """
+        ids = req.get("ids")
+        if ids is None:
+            ids = sorted(self._ctx.emissions.snapshot_emissions())
+        ids = [int(i) for i in ids]
+        rows: list[float] = []
+        for eid in ids:
+            out = self._ctx.get_output(eid)
+            vals = [out.occlusion, out.wet_gain, out.rt60, out.lowpass,
+                    out.direction.x, out.direction.y,
+                    out.source_directivity.x, out.source_directivity.y]
+            valid = out.valid and all(np.isfinite(v) for v in vals)
+            if not valid:  # sentinel + zero-fill (PlaneverbDSPUnity.cpp:102)
+                vals = [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+            rows.extend([float(v) for v in vals] + [1.0 if valid else 0.0])
+        return {"ok": True, "count": len(ids), "ids": ids, "rows": rows}
+
     def _add_geometry(self, req):
         # "absorption" accepts an R float OR a material name (e.g.
         # "CONCRETE_ROUGH") resolved against the 38-entry table — the
@@ -231,6 +258,7 @@ _HANDLERS = {
     "update_emission": EngineServer._update_emission,
     "end_emission": EngineServer._end_emission,
     "get_output": EngineServer._get_output,
+    "get_outputs": EngineServer._get_outputs,
     "add_geometry": EngineServer._add_geometry,
     "update_geometry": EngineServer._update_geometry,
     "remove_geometry": EngineServer._remove_geometry,

@@ -108,3 +108,68 @@ def test_emit_ex_carries_attributes(cabi, server):
     assert em.forward == (0.0, 0.0, -1.0)
     assert em.volume_db == -6.0 and em.pattern == 1
     assert em.volume_gain == pytest.approx(10 ** (-6.0 / 20.0))
+
+
+def test_batched_get_outputs_fifty_emitters(cabi, server):
+    """PlaneverbGetOutputs: 50 emitters polled in ONE round-trip (the
+    reference polls each emitter per frame, PlaneverbAudioSource.cs:171-183;
+    over a socket that is 50 round-trips — the batch is one). Rows must
+    match the per-id GetOutput path bit-for-bit, invalid ids get None."""
+    cabi.init(10.0, 10.0, resolution=275, background=False)
+    cabi.set_listener_position(5.0, 0.0, 5.0)
+    ids = []
+    for i in range(50):
+        x = 1.0 + 8.0 * (i % 10) / 9.0
+        z = 1.0 + 8.0 * (i // 10) / 4.0
+        ids.append(cabi.emit(x, 0.0, z))
+    cabi.step()
+
+    batch = cabi.get_outputs(ids + [777])   # one unknown id at the end
+    assert len(batch) == 51
+    assert batch[-1] is None                # unknown id -> invalid sentinel
+    n_valid = sum(o is not None for o in batch[:-1])
+    assert n_valid == 50
+    for eid, row in zip(ids[:7], batch[:7]):   # spot-check vs per-id path
+        single = cabi.get_output(eid)
+        assert single is not None
+        for k in ("occlusion", "wet_gain", "rt60", "lowpass"):
+            assert row[k] == single[k]
+        assert row["direction"] == single["direction"]
+    cabi.exit()
+
+
+def test_add_geometry_material_through_c_abi(cabi, server):
+    """PlaneverbAddGeometryMaterial resolves the name server-side."""
+    from planeverb_tpu.config import MATERIALS
+
+    cabi.init(10.0, 10.0, resolution=275, background=False)
+    gid = cabi.add_geometry(5.0, 5.0, 2.0, 2.0, "WOOD_PANEL")
+    assert gid >= 0
+    box = server._ctx.geometry.get(gid)
+    assert box.absorption == MATERIALS.WOOD_PANEL
+    assert cabi.add_geometry(1.0, 1.0, 1.0, 1.0, "BOGUS") == -1
+    cabi.exit()
+
+
+def test_c_demo_compiles_and_runs(server, tmp_path):
+    """examples/engine_client_demo.c is a real, compiling, running program:
+    build it with gcc against libpvengine and drive it against a live
+    server — including the 50-emitter single-call batched poll."""
+    import os
+    import subprocess
+
+    from planeverb_tpu.native import build_engine_client_library
+
+    lib = build_engine_client_library()
+    demo = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "engine_client_demo.c")
+    exe = tmp_path / "pv_demo"
+    subprocess.run(["gcc", demo, "-o", str(exe), lib,
+                    f"-Wl,-rpath,{os.path.dirname(lib)}"],
+                   check=True, capture_output=True)
+    host, port = server.address
+    r = subprocess.run([str(exe), host, str(port)], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "occlusion" in r.stdout
+    assert "batched poll: 50/50 emitters valid in one call" in r.stdout
