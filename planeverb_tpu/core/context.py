@@ -82,6 +82,54 @@ def _pipeline_cells(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
     return pressure, packed, rows
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "mesh", "nx_pad", "ny_pad",
+                                    "halo", "interpret",
+                                    "compute_directions"))
+def _pipeline_packed_sharded(params, beta, refl, pulse, cix, ciy, efree,
+                             lx, lz, mesh, nx_pad, ny_pad, halo,
+                             interpret, compute_directions: bool = True):
+    """Multi-chip analog of :func:`_pipeline_packed`.
+
+    Routes the step through ``parallel.pipeline_sharded`` (fused Pallas
+    rounds between ppermute halo exchanges) instead of the single-device
+    ``pipeline_auto``; the whole pass — sharded sim, in-kernel moments,
+    parameter assembly, packing — still compiles as ONE XLA program so the
+    engine pays one dispatch and one packed fetch per iteration regardless
+    of mesh size. ``beta``/``refl`` arrive padded to [nx_pad, ny_pad] and
+    sharded P("x", "y"); the packed result is the usual [gx, gy, 9].
+    """
+    from planeverb_tpu.parallel import pipeline_sharded
+
+    res, out = pipeline_sharded(
+        params, beta, refl, pulse, cix, ciy, mesh, nx_pad, ny_pad,
+        efree, lx, lz, halo=halo, interpret=interpret,
+        compute_directions=compute_directions)
+    packed = jnp.concatenate([
+        out.occlusion[..., None], out.wet_gain[..., None],
+        out.rt60[..., None], out.lowpass[..., None],
+        out.direction, out.source_directivity,
+        out.delay_samples[..., None],
+    ], axis=-1)
+    return res.pressure, packed
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "mesh", "nx_pad", "ny_pad",
+                                    "halo", "interpret",
+                                    "compute_directions"))
+def _pipeline_cells_sharded(params, beta, refl, pulse, cix, ciy, efree,
+                            lx, lz, cells, mesh, nx_pad, ny_pad, halo,
+                            interpret, compute_directions: bool = True):
+    """Sharded counterpart of :func:`_pipeline_cells` (per-emitter rows)."""
+    pressure, packed = _pipeline_packed_sharded(
+        params, beta, refl, pulse, cix, ciy, efree, lx, lz,
+        mesh, nx_pad, ny_pad, halo, interpret,
+        compute_directions=compute_directions)
+    rows = packed[cells[:, 0], cells[:, 1]]
+    return pressure, packed, rows
+
+
 def _output_from_row(row) -> PlaneverbOutput:
     """One packed [9] row -> PlaneverbOutput (layout per _pipeline_packed)."""
     return PlaneverbOutput(
@@ -104,7 +152,7 @@ LAZY_DOA_CELLS = 1 << 16
 class Context:
     def __init__(self, config: PlaneverbConfig, scene: Scene | None = None,
                  lazy_directions: bool | None = None,
-                 publish: str = "grids"):
+                 publish: str = "grids", mesh=None, halo: int | None = None):
         """``publish`` picks the per-iteration result transfer:
 
         - "grids" (default): fetch all analyzer grids to the host in one
@@ -114,10 +162,42 @@ class Context:
           device and arbitrary probes fetch their row on demand. On the
           tunneled TPU backend this cuts the publish cost from ~100 ms
           (1.3 MB grid) to one small transfer.
+
+        ``mesh`` (a 2D ``jax.sharding.Mesh`` with axes "x", "y", e.g. from
+        ``parallel.grid_mesh``) runs the whole engine multi-chip: fields are
+        sharded spatially over the mesh and every ``step()`` routes through
+        the sharded Pallas pipeline (``parallel.pipeline_sharded`` — fused
+        kernel rounds between ``ppermute`` halo exchanges, riding ICI).
+        The published results are identical (within f32 reduction order) to
+        the single-device engine; the reference's loop this replaces is
+        single-threaded shared memory (PvContext.cpp:63-94). ``halo`` is
+        the exchange period in steps (default: largest power-of-two round
+        that fits the per-shard block, capped at 16).
         """
         config.validate()
         self.config = config
         self.params: GridParams = compute_grid_params(config)
+        self.mesh = mesh
+        if mesh is not None:
+            from planeverb_tpu.parallel import pad_to_mesh
+
+            if tuple(sorted(mesh.axis_names)) != ("x", "y"):
+                raise ValueError(
+                    f"mesh must have axes ('x', 'y'), got {mesh.axis_names}")
+            self._nx_pad, self._ny_pad = pad_to_mesh(
+                self.params.nx, self.params.ny, mesh)
+            bx = self._nx_pad // mesh.shape["x"]
+            by = self._ny_pad // mesh.shape["y"]
+            if halo is None:
+                halo = 16
+                while halo > min(bx, by):
+                    halo //= 2
+            if not (1 <= halo <= min(bx, by)):
+                raise ValueError(f"halo {halo} exceeds per-shard block "
+                                 f"({bx}, {by})")
+            self._halo = halo
+            # interpret-mode Pallas off-TPU (CPU test meshes)
+            self._interpret = mesh.devices.flat[0].platform != "tpu"
         if publish not in ("grids", "cells"):
             raise ValueError(f"unknown publish mode {publish!r}")
         self._publish_cells = publish == "cells"
@@ -218,6 +298,18 @@ class Context:
             else:
                 b, r = voxelize.base_fields(self.params)
                 beta, refl = jnp.asarray(b), jnp.asarray(r)
+            if self.mesh is not None:
+                # pad to the mesh-divisible field shape (padding is beta=0
+                # solid, provably silent) and lay the fields out spatially
+                # over the mesh so the sharded pipeline's shard_map sees
+                # its expected P("x", "y") placement without a reshard
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                pad = ((0, self._nx_pad - self.params.nx),
+                       (0, self._ny_pad - self.params.ny))
+                sharding = NamedSharding(self.mesh, PartitionSpec("x", "y"))
+                beta = jax.device_put(jnp.pad(beta, pad), sharding)
+                refl = jax.device_put(jnp.pad(refl, pad), sharding)
             self._beta, self._refl = beta, refl
             self._fields_version = version
 
@@ -244,10 +336,18 @@ class Context:
             self._step_cells(lx, lz, cix, ciy)
             return
         with self.timer.stage("simulate+analyze"):
-            pressure, packed = _pipeline_packed(
-                self.params, self._beta, self._refl, self._pulse, cix, ciy,
-                np.float32(self.efree), np.float32(lx), np.float32(lz),
-                compute_directions=not self._lazy_doa)
+            if self.mesh is not None:
+                pressure, packed = _pipeline_packed_sharded(
+                    self.params, self._beta, self._refl, self._pulse,
+                    jnp.int32(cix), jnp.int32(ciy), np.float32(self.efree),
+                    np.float32(lx), np.float32(lz), self.mesh,
+                    self._nx_pad, self._ny_pad, self._halo, self._interpret,
+                    compute_directions=not self._lazy_doa)
+            else:
+                pressure, packed = _pipeline_packed(
+                    self.params, self._beta, self._refl, self._pulse, cix,
+                    ciy, np.float32(self.efree), np.float32(lx),
+                    np.float32(lz), compute_directions=not self._lazy_doa)
         with self.timer.stage("publish"):
             # single host fetch of the packed result grids (see
             # _pipeline_packed: per-array fetches cost a tunnel round-trip
@@ -284,10 +384,18 @@ class Context:
         if wanted:
             cells[:len(wanted)] = wanted
         with self.timer.stage("simulate+analyze"):
-            pressure, packed, rows = _pipeline_cells(
-                p, self._beta, self._refl, self._pulse, cix, ciy,
-                np.float32(self.efree), np.float32(lx), np.float32(lz),
-                jnp.asarray(cells), compute_directions=True)
+            if self.mesh is not None:
+                pressure, packed, rows = _pipeline_cells_sharded(
+                    p, self._beta, self._refl, self._pulse,
+                    jnp.int32(cix), jnp.int32(ciy), np.float32(self.efree),
+                    np.float32(lx), np.float32(lz), jnp.asarray(cells),
+                    self.mesh, self._nx_pad, self._ny_pad, self._halo,
+                    self._interpret, compute_directions=True)
+            else:
+                pressure, packed, rows = _pipeline_cells(
+                    p, self._beta, self._refl, self._pulse, cix, ciy,
+                    np.float32(self.efree), np.float32(lx), np.float32(lz),
+                    jnp.asarray(cells), compute_directions=True)
         with self.timer.stage("publish"):
             fetched = np.asarray(rows)         # the one small transfer
             cache = {cell: fetched[i] for i, cell in enumerate(wanted)}

@@ -303,7 +303,7 @@ def cmd_grid(args) -> int:
 def cmd_serve(args) -> int:
     from planeverb_tpu.server import EngineServer
 
-    srv = EngineServer(args.host, args.port)
+    srv = EngineServer(args.host, args.port, mesh_devices=args.mesh)
     host, port = srv.address
     print(f"planeverb engine server listening on {host}:{port} "
           f"(newline-delimited JSON; send {{\"cmd\": \"init\", ...}} first)",
@@ -323,7 +323,8 @@ def cmd_view(args) -> int:
     from planeverb_tpu.sandbox.viewer import ViewerServer
 
     viewer = ViewerServer(_config(args), scene=_load_scene(args.scene),
-                          host=args.host, port=args.port)
+                          host=args.host, port=args.port,
+                          mesh_devices=args.mesh)
     lx, lz = _xy(args.listener)
     viewer.ctx.set_listener_position(lx, 0.0, lz)
     host, port = viewer.address
@@ -460,6 +461,9 @@ def main(argv=None) -> int:
                                      "(game-engine binding layer)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8471)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="run engine contexts sharded over an N-device mesh "
+                        "(0 = single device)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("view", help="interactive browser sandbox "
@@ -469,6 +473,9 @@ def main(argv=None) -> int:
     common(p, scene=False)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8470)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="run the engine sharded over an N-device mesh "
+                        "(0 = single device)")
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("scale", help="strong-scaling sweep of the sharded "

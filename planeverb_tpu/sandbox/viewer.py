@@ -48,9 +48,17 @@ class ViewerServer:
 
     def __init__(self, config: PlaneverbConfig | None = None,
                  scene: Scene | None = None, host: str = "127.0.0.1",
-                 port: int = 0, background: bool = True):
+                 port: int = 0, background: bool = True,
+                 mesh_devices: int = 0):
         self.config = config or PlaneverbConfig()
-        self.ctx = Context(self.config, scene=scene)
+        mesh = None
+        if mesh_devices > 0:
+            import jax
+
+            from planeverb_tpu.parallel import grid_mesh
+
+            mesh = grid_mesh(jax.devices()[:mesh_devices])
+        self.ctx = Context(self.config, scene=scene, mesh=mesh)
         self.scene_name = scene.name if scene is not None else ""
         self._lock = threading.Lock()   # serializes mutating commands
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))

@@ -60,8 +60,13 @@ class _Server(socketserver.ThreadingTCPServer):
 class EngineServer:
     """Hosts one acoustics Context behind a TCP JSON protocol."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 mesh_devices: int = 0):
+        """``mesh_devices`` > 0 runs every Context created by ``init`` on an
+        N-device 2D mesh (parallel.grid_mesh) unless the init request
+        overrides it with its own ``mesh`` count."""
         self._ctx: Context | None = None
+        self._mesh_devices = mesh_devices
         self._lock = threading.Lock()
         self._srv = _Server((host, port), _Handler)
         self._srv.engine = self
@@ -111,12 +116,29 @@ class EngineServer:
         # game-engine clients query per emitter (GetOutput), so the
         # cells-publish mode (fetch only the live emitters' rows; ~3x
         # faster refresh on the TPU tunnel) is the natural server default
-        self._ctx = Context(cfg, publish=req.get("publish", "cells"))
+        n_mesh = int(req.get("mesh", self._mesh_devices))
+        mesh = None
+        if n_mesh > 0:
+            import jax
+
+            from planeverb_tpu.parallel import grid_mesh
+
+            devices = jax.devices()
+            if n_mesh > len(devices):
+                return {"ok": False,
+                        "error": f"mesh wants {n_mesh} devices, "
+                                 f"only {len(devices)} available"}
+            mesh = grid_mesh(devices[:n_mesh])
+        self._ctx = Context(cfg, publish=req.get("publish", "cells"),
+                            mesh=mesh)
         if req.get("background", True):
             self._ctx.start()
-        return {"ok": True, "fs": self._ctx.params.fs,
+        resp = {"ok": True, "fs": self._ctx.params.fs,
                 "grid": [self._ctx.params.grid_x, self._ctx.params.grid_y],
                 "dx": self._ctx.params.dx}
+        if mesh is not None:
+            resp["mesh"] = dict(mesh.shape)
+        return resp
 
     def _exit(self, req):
         if self._ctx is not None:

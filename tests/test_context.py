@@ -282,3 +282,89 @@ def test_cells_publish_mode_matches_grids():
         pv.Context(CFG, publish="cells", lazy_directions=True)
     with pytest.raises(ValueError, match="publish"):
         pv.Context(CFG, publish="nope")
+
+
+def test_mesh_context_matches_single_device():
+    """The multi-chip engine: a Context constructed with a 2x4 device mesh
+    routes step() through the sharded Pallas pipeline
+    (parallel.pipeline_sharded) and must publish grids identical (within
+    f32 reduction order) to the single-device Context on the same scene.
+
+    This is the product-surface counterpart of
+    tests/test_parallel.py::test_pipeline_sharded_matches_single_chip —
+    the engine runtime itself spanning chips, not just the solver library.
+    """
+    import jax
+
+    from planeverb_tpu.parallel import grid_mesh
+
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    ctx_m = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"), mesh=mesh)
+    ctx_1 = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    for ctx in (ctx_m, ctx_1):
+        ctx.set_listener_position(5.0, 0.0, 5.0)
+        ctx.step()
+    a, b = ctx_m._published, ctx_1._published
+    for key in ("occlusion", "wet_gain", "rt60", "lowpass",
+                "direction", "source_directivity", "delay_samples"):
+        np.testing.assert_allclose(a[key], b[key], rtol=2e-4, atol=1e-5,
+                                   err_msg=key)
+    # queries work identically through the public surface
+    out_m, out_1 = ctx_m.result_at(6.0, 5.0), ctx_1.result_at(6.0, 5.0)
+    assert out_m.valid
+    assert out_m.occlusion == pytest.approx(out_1.occlusion, rel=1e-4)
+    # IR accessor reads the sharded [T, nx_pad, ny_pad] recording
+    ir_m = ctx_m.get_impulse_response(6.0, 5.0)
+    ir_1 = ctx_1.get_impulse_response(6.0, 5.0)
+    assert ir_m.shape == ir_1.shape
+    np.testing.assert_allclose(ir_m, ir_1, atol=1e-6)
+    # geometry edits re-shard the fields and change results
+    gid = ctx_m.geometry.add(pv.AABB(5.5, 5.0, 0.4, 2.0, 0.9))
+    ctx_m.step()
+    assert ctx_m.result_at(6.0, 5.0).occlusion < out_m.occlusion
+    ctx_m.geometry.remove(gid)
+
+
+def test_mesh_context_cells_publish():
+    """publish='cells' on a mesh Context: per-emitter rows come off the
+    sharded packed grid in one gather."""
+    import jax
+
+    from planeverb_tpu.parallel import grid_mesh
+
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"), mesh=mesh,
+                     publish="cells")
+    ref = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                     lazy_directions=False)
+    for c in (ctx, ref):
+        c.set_listener_position(5.0, 0.0, 5.0)
+    eid = ctx.emissions.emit(6.5, 0.0, 5.0)
+    for c in (ctx, ref):
+        c.step()
+    out = ctx.get_output(eid)
+    want = ref.result_at(6.5, 5.0)
+    assert out.valid
+    for f in ("occlusion", "wet_gain", "rt60", "lowpass"):
+        assert getattr(out, f) == pytest.approx(getattr(want, f),
+                                                rel=2e-4), f
+    # on-demand probe row off the device-resident sharded grid
+    probe = ctx.result_at(4.0, 5.0)
+    assert probe.valid
+    assert probe.occlusion == pytest.approx(ref.result_at(4.0, 5.0).occlusion,
+                                            rel=2e-4)
+
+
+def test_mesh_context_validation():
+    """Bad mesh axes / halo sizes fail fast at construction."""
+    import jax
+    from jax.sharding import Mesh
+
+    from planeverb_tpu.parallel import grid_mesh
+
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    with pytest.raises(ValueError, match="halo"):
+        pv.Context(CFG, mesh=mesh, halo=1000)
+    bad = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("a", "b"))
+    with pytest.raises(ValueError, match="axes"):
+        pv.Context(CFG, mesh=bad)

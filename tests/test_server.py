@@ -130,3 +130,32 @@ def test_two_clients_share_engine(server):
     finally:
         a.close()
         b.close()
+
+
+def test_init_with_mesh(client):
+    """init with a mesh count runs the engine sharded over the devices;
+    outputs match the reference single-device init."""
+    r = client.call("init", grid_size_x=10, grid_size_y=10,
+                    grid_resolution=275, background=False, mesh=8)
+    assert r["ok"] and r["mesh"] == {"x": 2, "y": 4}
+    client.call("add_geometry", cx=5.0, cy=5.0, sx=1.0, sy=1.0,
+                absorption=0.9)
+    client.call("set_listener_position", x=3.0, y=0.0, z=5.0)
+    e = client.call("emit", x=7.0, y=0.0, z=5.0)["id"]
+    client.call("step")
+    sharded = client.call("get_output", id=e)
+
+    r = client.call("init", grid_size_x=10, grid_size_y=10,
+                    grid_resolution=275, background=False)
+    assert r["ok"] and "mesh" not in r
+    client.call("add_geometry", cx=5.0, cy=5.0, sx=1.0, sy=1.0,
+                absorption=0.9)
+    client.call("set_listener_position", x=3.0, y=0.0, z=5.0)
+    e = client.call("emit", x=7.0, y=0.0, z=5.0)["id"]
+    client.call("step")
+    single = client.call("get_output", id=e)
+    for f in ("occlusion", "wet_gain", "rt60", "lowpass"):
+        assert sharded[f] == pytest.approx(single[f], rel=2e-4), f
+    # asking for more devices than exist is a clean error
+    r = client.call("init", mesh=512)
+    assert not r["ok"] and "devices" in r["error"]
