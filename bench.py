@@ -32,7 +32,8 @@ import time
 import numpy as np
 
 
-from planeverb_tpu.utils.profiling import time_chained  # noqa: E402
+from planeverb_tpu.utils.profiling import (time_chained,  # noqa: E402
+                                           time_chained_stats)
 # (chained-dependent-runs timing: honest on the tunneled TPU backend where
 # block_until_ready does not block and identical runs can be relay-cached)
 
@@ -90,8 +91,13 @@ def main() -> None:
                 + out.lowpass[5, 5] * 1e-4 + out.direction[5, 5, 0]
                 + out.source_directivity[5, 5, 1])
 
+    def spread_ms(stats):
+        return [round(stats[k] * 1e3, 2)
+                for k in ("min_s", "median_s", "max_s")]
+
     float(np.asarray(full_pass(0.0)))  # compile + warm
-    t_pipeline = time_chained(full_pass, reps=5)
+    pipeline_stats = time_chained_stats(full_pass, reps=5)
+    t_pipeline = pipeline_stats["min_s"]
 
     def sim_only(eps):
         res = simulate_auto(params, beta, refl, pulse * (1.0 + eps),
@@ -99,7 +105,8 @@ def main() -> None:
         return res.pressure[T - 1, 5, 5]
 
     float(np.asarray(sim_only(0.0)))
-    t_sim = time_chained(sim_only, reps=5)
+    sim_stats = time_chained_stats(sim_only, reps=5)
+    t_sim = sim_stats["min_s"]
 
     # --- baseline: NumPy oracle solver, per-step cost extrapolated from a
     # reduced-step run (the oracle's analyzer is a test-only per-cell Python
@@ -157,24 +164,30 @@ def main() -> None:
                 return out.occlusion[5, 5] + out.direction[5, 5, 0]
 
             float(np.asarray(one(0.0)))
-            t = time_chained(one, reps=3)
+            s = time_chained_stats(one, reps=3)
+            t = s["min_s"]
             rows[str(res)] = {
                 "grid": [p.nx, p.ny], "steps": p.response_length,
                 "pipeline_ms": round(t * 1e3, 2),
+                "pipeline_ms_spread": spread_ms(s),
                 "gcups": round(p.nx * p.ny * p.response_length / t / 1e9, 2),
             }
         return rows
 
-    # --- beyond-VMEM grid through the band-streamed tiled kernel
-    def _tiled_large():
+    # --- beyond-VMEM grids through the band-streamed tiled kernel
+    def _tiled(size_m: float, steps: int | None, reps: int, chain: int):
+        import dataclasses as _dc2
+
         from planeverb_tpu.ops.fdtd_tiled import simulate_moments_tiled
 
-        c = PlaneverbConfig(grid_size_x=60.0, grid_size_y=60.0,
+        c = PlaneverbConfig(grid_size_x=size_m, grid_size_y=size_m,
                             grid_resolution=750)
         p = compute_grid_params(c)
+        if steps is not None:
+            p = _dc2.replace(p, response_length=steps)
         b, r = voxelize.voxelize_np(p, demo_scene("HugeRoom").boxes)
         pu = jnp.asarray(gaussian_pulse(p))
-        ix, iy = p.world_to_cell(30.0, 30.0)
+        ix, iy = p.world_to_cell(size_m / 2, size_m / 2)
         b, r = jnp.asarray(b), jnp.asarray(r)
 
         def one(eps):
@@ -183,14 +196,25 @@ def main() -> None:
             return moments.e_total[5, 5] + res.onset[5, 5]
 
         float(np.asarray(one(0.0)))
-        t = time_chained(one, reps=3)
+        s = time_chained_stats(one, n=chain, reps=reps)
+        t = s["min_s"]
         return {
             "grid": [p.nx, p.ny], "steps": p.response_length,
             "recording_gb": round(p.nx * p.ny * p.response_length * 4 / 1e9,
                                   2),
             "wall_ms": round(t * 1e3, 1),
+            "wall_ms_spread": spread_ms(s),
             "gcups": round(p.nx * p.ny * p.response_length / t / 1e9, 2),
         }
+
+    def _tiled_large():
+        return _tiled(60.0, None, reps=3, chain=10)
+
+    def _tiled_xl():
+        # the README 1018x1018 point as a recorded artifact: ~133 m extent
+        # at 750 Hz, T clamped to the headline workload's 1187 steps
+        # (4.9 GB f32 recording; full-T would be 8.6 GB of a 16 GB chip)
+        return _tiled(133.3, 1187, reps=2, chain=4)
 
     # --- sharded Pallas solver, 1x1 mesh (per-chip rate of the multi-chip
     # path; parity with the fused kernel is bit-exact, tests pin it)

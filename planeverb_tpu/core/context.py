@@ -40,9 +40,11 @@ __all__ = ["Context"]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "compute_directions"))
+                   static_argnames=("params", "compute_directions",
+                                    "state_dtype"))
 def _pipeline_packed(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
-                     compute_directions: bool = True):
+                     compute_directions: bool = True,
+                     state_dtype=jnp.float32):
     """pipeline_auto + all analyzer grids packed into ONE [gx, gy, 9] array.
 
     On the tunneled TPU backend every host fetch is a full round-trip
@@ -52,7 +54,8 @@ def _pipeline_packed(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
     direction xy, source_directivity xy, delay_samples.
     """
     res, out = pipeline_auto(params, beta, refl, pulse, cix, ciy, efree,
-                             lx, lz, compute_directions=compute_directions)
+                             lx, lz, compute_directions=compute_directions,
+                             state_dtype=state_dtype)
     packed = jnp.concatenate([
         out.occlusion[..., None], out.wet_gain[..., None],
         out.rt60[..., None], out.lowpass[..., None],
@@ -63,9 +66,11 @@ def _pipeline_packed(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "compute_directions"))
+                   static_argnames=("params", "compute_directions",
+                                    "state_dtype"))
 def _pipeline_cells(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
-                    cells, compute_directions: bool = True):
+                    cells, compute_directions: bool = True,
+                    state_dtype=jnp.float32):
     """_pipeline_packed + an on-device gather of the query cells' rows.
 
     ``cells`` is [Q, 2] int32 (pow2-padded). Returns (pressure [T, nx, ny]
@@ -77,7 +82,7 @@ def _pipeline_cells(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
     """
     pressure, packed = _pipeline_packed(
         params, beta, refl, pulse, cix, ciy, efree, lx, lz,
-        compute_directions=compute_directions)
+        compute_directions=compute_directions, state_dtype=state_dtype)
     rows = packed[cells[:, 0], cells[:, 1]]
     return pressure, packed, rows
 
@@ -152,7 +157,8 @@ LAZY_DOA_CELLS = 1 << 16
 class Context:
     def __init__(self, config: PlaneverbConfig, scene: Scene | None = None,
                  lazy_directions: bool | None = None,
-                 publish: str = "grids", mesh=None, halo: int | None = None):
+                 publish: str = "grids", mesh=None, halo: int | None = None,
+                 precision: str = "f32"):
         """``publish`` picks the per-iteration result transfer:
 
         - "grids" (default): fetch all analyzer grids to the host in one
@@ -173,10 +179,25 @@ class Context:
         single-threaded shared memory (PvContext.cpp:63-94). ``halo`` is
         the exchange period in steps (default: largest power-of-two round
         that fits the per-shard block, capped at 16).
+
+        ``precision="bf16"`` opts the fused TPU kernel into half-precision
+        wave state (ops/fdtd_pallas.py state_dtype): acoustic parameters
+        stay within ~2% of the f32 engine (pinned by
+        tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters)
+        and the per-pass recording writeback halves. Single-device TPU
+        path only; the CPU fallback and the sharded pipeline are the f32
+        parity references.
         """
         config.validate()
         self.config = config
         self.params: GridParams = compute_grid_params(config)
+        if precision not in ("f32", "bf16"):
+            raise ValueError(f"unknown precision {precision!r}")
+        if precision == "bf16" and mesh is not None:
+            raise ValueError("precision='bf16' is single-device only "
+                             "(the sharded pipeline runs f32)")
+        self._state_dtype = jnp.bfloat16 if precision == "bf16" \
+            else jnp.float32
         self.mesh = mesh
         if mesh is not None:
             from planeverb_tpu.parallel import pad_to_mesh
@@ -347,7 +368,8 @@ class Context:
                 pressure, packed = _pipeline_packed(
                     self.params, self._beta, self._refl, self._pulse, cix,
                     ciy, np.float32(self.efree), np.float32(lx),
-                    np.float32(lz), compute_directions=not self._lazy_doa)
+                    np.float32(lz), compute_directions=not self._lazy_doa,
+                    state_dtype=self._state_dtype)
         with self.timer.stage("publish"):
             # single host fetch of the packed result grids (see
             # _pipeline_packed: per-array fetches cost a tunnel round-trip
@@ -395,7 +417,8 @@ class Context:
                 pressure, packed, rows = _pipeline_cells(
                     p, self._beta, self._refl, self._pulse, cix, ciy,
                     np.float32(self.efree), np.float32(lx), np.float32(lz),
-                    jnp.asarray(cells), compute_directions=True)
+                    jnp.asarray(cells), compute_directions=True,
+                    state_dtype=self._state_dtype)
         with self.timer.stage("publish"):
             fetched = np.asarray(rows)         # the one small transfer
             cache = {cell: fetched[i] for i, cell in enumerate(wanted)}
@@ -511,7 +534,10 @@ class Context:
         cx, cy = p.world_to_cell(x, z)
         if not (0 <= cx < p.nx and 0 <= cy < p.ny):
             return np.zeros(0, np.float32)
-        return np.asarray(published["pressure"][:, cx, cy])
+        # device-side f32 cast: the recording is bf16 in precision="bf16"
+        # mode, and numpy has no native bfloat16
+        return np.asarray(
+            published["pressure"][:, cx, cy].astype(jnp.float32))
 
     # --------------------------------------------------------------- admin
     def profile_summary(self) -> dict:

@@ -57,15 +57,23 @@ def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
             ed_ref, ew_ref, et_ref,
             p_ref, vx_ref, vy_ref,
             *, courant, thr, src_dir_n, npx, npy,
-            chunk, t_real, dry_n, wet_n):
+            chunk, t_real, dry_n, wet_n, state_dtype=jnp.float32):
+    """``state_dtype=jnp.bfloat16`` is the opt-in half-precision wave-state
+    mode: p/vx/vy, the stencil coefficients, and the recording all carry
+    bf16 (half the vregs per array, half the recording HBM traffic), while
+    every accumulator that sums across timesteps (onset, flux, windowed
+    energies) stays f32 — 1187-term bf16 sums would lose ~3 digits. Gated
+    by parameter-level golden tolerances, not bit parity
+    (tests/test_fdtd_pallas.py::test_bf16_*)."""
     c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _init():
+        szeros = jnp.zeros((npx, npy), state_dtype)
         zeros = jnp.zeros((npx, npy), jnp.float32)
-        p_ref[:] = zeros
-        vx_ref[:] = zeros
-        vy_ref[:] = zeros
+        p_ref[:] = szeros
+        vx_ref[:] = szeros
+        vy_ref[:] = szeros
         onset_ref[:] = jnp.full((npx, npy), jnp.inf, jnp.float32)
         fx_ref[:] = zeros
         fy_ref[:] = zeros
@@ -86,9 +94,9 @@ def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
     gj = jax.lax.broadcasted_iota(jnp.int32, (npx, npy), 1)
     lix = scal_ref[0, 0]
     liy = scal_ref[0, 1]
-    src = ((gi == lix) & (gj == liy)).astype(jnp.float32)
-    zrow = jnp.zeros((1, npy), jnp.float32)
-    zcol = jnp.zeros((npx, 1), jnp.float32)
+    src = ((gi == lix) & (gj == liy)).astype(state_dtype)
+    zrow = jnp.zeros((1, npy), state_dtype)
+    zcol = jnp.zeros((npx, 1), state_dtype)
 
     def one_step(k, carry):
         p, vx, vy, onset, fx, fy, ed, ew, et = carry
@@ -122,18 +130,25 @@ def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
         c_wet_lo = jnp.where(live, tf - float(dry_n) - 1.0, -jnp.inf)
         c_wet_hi = tf - float(dry_n) - 1.0 - float(wet_n)
 
-        onset = jnp.minimum(onset, jnp.where(jnp.abs(p) > thr, t_on, jnp.inf))
-        mp = jnp.where(onset > c_flux, p, 0.0)
-        fx = fx + mp * vx
-        fy = fy + mp * vy
-        sq = p * p
+        # accumulators stay f32 even in bf16 state mode (sums over ~1e3
+        # steps; see the state_dtype note in the docstring). The threshold
+        # compare also runs on the f32 copy: a mask born in the packed-bf16
+        # layout feeding f32 selects trips a Mosaic i1-relayout error
+        # ("non-singleton logical dimension is replicated").
+        p32 = p.astype(jnp.float32)
+        onset = jnp.minimum(onset,
+                            jnp.where(jnp.abs(p32) > thr, t_on, jnp.inf))
+        mp = jnp.where(onset > c_flux, p32, 0.0)
+        fx = fx + mp * vx.astype(jnp.float32)
+        fy = fy + mp * vy.astype(jnp.float32)
+        sq = p32 * p32
         ed = jnp.where(onset > c_dry, ed + sq, ed)
         ew = jnp.where((onset <= c_wet_lo) & (onset > c_wet_hi), ew + sq, ew)
         et = jnp.where(live, et + sq, et)
 
         # -- record (pre-injection), then inject at the listener cell
         rec_ref[k] = p
-        p = p + src * pulse_ref[t, 0]
+        p = p + src * pulse_ref[t, 0].astype(state_dtype)
         return p, vx, vy, onset, fx, fy, ed, ew, et
 
     carry = (p_ref[:], vx_ref[:], vy_ref[:],
@@ -181,7 +196,7 @@ def _moments_kernel(onset_ref, pres_ref, s0_ref, s1_ref,
         kk = chunk - 1 - k                       # reverse within the chunk
         t = (n_chunks - 1 - c) * chunk + kk
         tf = t.astype(jnp.float32)
-        p = pres_ref[kk]
+        p = pres_ref[kk].astype(jnp.float32)   # no-op for f32 recordings
         live = (tf < float(t_real)).astype(jnp.float32)
         edc = edc + p * p * live                 # suffix sum incl. current
         y = jnp.log(jnp.maximum(edc, 1e-37)) * log10_scale
@@ -197,10 +212,12 @@ def _moments_kernel(onset_ref, pres_ref, s0_ref, s1_ref,
     s1_ref[:] = s1
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk"))
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk",
+                                             "state_dtype"))
 def _simulate_impl(params: GridParams, beta, refl, pulse,
                    listener_ix, listener_iy,
-                   interpret: bool = False, chunk: int = 16):
+                   interpret: bool = False, chunk: int = 16,
+                   state_dtype=jnp.float32):
     """One simulation pass in a single fused kernel.
 
     Returns (FdtdResult, (rec_padded, e_dry, e_wet, e_total)). Result grids
@@ -208,6 +225,12 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     [:grid_x, :grid_y] corner, so no crop is needed. ``chunk`` timesteps run
     per grid iteration so the recording is flushed to HBM in chunk-sized
     slabs (amortizing per-iteration DMA cost); results are chunk-invariant.
+
+    ``state_dtype=jnp.bfloat16`` opts into the half-precision wave-state
+    mode (see ``_kernel``): coefficients, p/vx/vy and the recording carry
+    bf16; onset/flux/energy accumulators and everything the analyzer
+    consumes stay f32. The recording (and FdtdResult.pressure) is returned
+    in bf16 — half the HBM writeback.
     """
     nx, ny = params.nx, params.ny
     npx = pad_tile(nx, _SUBLANE)
@@ -225,6 +248,9 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     a_x, b_x, d_x, a_y, b_y, d_y = fdtd_scan.coefficients_from_fields(
         beta_p, Y, params.grid_x, params.grid_y,
         params.boundary_type == BoundaryType.ABSORBING)
+    beta_p, a_x, b_x, d_x, a_y, b_y, d_y = (
+        arr.astype(state_dtype)
+        for arr in (beta_p, a_x, b_x, d_x, a_y, b_y, d_y))
 
     scal = jnp.array([listener_ix, listener_iy],
                      dtype=jnp.int32).reshape(1, 2)
@@ -237,7 +263,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         thr=float(params.constants.audible_threshold_gain),
         src_dir_n=float(params.source_dir_samples),
         npx=npx, npy=npy, chunk=chunk, t_real=T,
-        dry_n=params.dry_gain_samples, wet_n=params.wet_gain_samples)
+        dry_n=params.dry_gain_samples, wet_n=params.wet_gain_samples,
+        state_dtype=state_dtype)
 
     field = pl.BlockSpec((npx, npy), lambda c: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -258,13 +285,13 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             field, field, field, field, field, field,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T_pad, npx, npy), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, npx, npy), state_dtype),
             cell, cell, cell, cell, cell, cell,
         ],
         scratch_shapes=[
-            pltpu.VMEM((npx, npy), jnp.float32),
-            pltpu.VMEM((npx, npy), jnp.float32),
-            pltpu.VMEM((npx, npy), jnp.float32),
+            pltpu.VMEM((npx, npy), state_dtype),
+            pltpu.VMEM((npx, npy), state_dtype),
+            pltpu.VMEM((npx, npy), state_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=T * npx * npy * 40,
@@ -282,29 +309,34 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
 
 def simulate_pallas(params: GridParams, beta, refl, pulse,
                     listener_ix, listener_iy,
-                    interpret: bool = False, chunk: int = 16) -> FdtdResult:
+                    interpret: bool = False, chunk: int = 16,
+                    state_dtype=jnp.float32) -> FdtdResult:
     """Run one full simulation pass in a single fused kernel (see
-    :func:`_simulate_impl` for shapes)."""
+    :func:`_simulate_impl` for shapes and the bf16 state mode)."""
     res, _ = _simulate_impl(params, beta, refl, pulse, listener_ix,
-                            listener_iy, interpret=interpret, chunk=chunk)
+                            listener_iy, interpret=interpret, chunk=chunk,
+                            state_dtype=state_dtype)
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk"))
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk",
+                                             "state_dtype"))
 def simulate_moments_pallas(params: GridParams, beta, refl, pulse,
                             listener_ix, listener_iy,
-                            interpret: bool = False, chunk: int = 16):
+                            interpret: bool = False, chunk: int = 16,
+                            state_dtype=jnp.float32):
     """Sim + analyzer moments entirely in Pallas.
 
     Returns (FdtdResult, analyzer.Moments): the windowed energies stream
     inside the sim kernel; the RT60 regression moments come from one
-    backward pass over the recording (the only re-read of it).
+    backward pass over the recording (the only re-read of it). Moments are
+    always f32, also in the bf16 state mode.
     """
     from planeverb_tpu.ops.analyzer import Moments
 
     res, (rec_padded, ed, ew, et) = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy,
-        interpret=interpret, chunk=chunk)
+        interpret=interpret, chunk=chunk, state_dtype=state_dtype)
     npx, npy = ed.shape
     T = params.response_length
     T_pad = rec_padded.shape[0]
@@ -345,18 +377,21 @@ def simulate_moments_pallas(params: GridParams, beta, refl, pulse,
 _VMEM_BUDGET_BYTES = 12 << 20  # leave headroom below the ~16 MB/core VMEM
 
 
-def _kernel_vmem_bytes(params: GridParams, chunk: int = 16) -> int:
+def _kernel_vmem_bytes(params: GridParams, chunk: int = 16,
+                       state_dtype=jnp.float32) -> int:
     """Estimated VMEM footprint of the fused kernel: 7 field inputs (beta +
-    6 stencil coefficients) + 3 scratch + 6 cell outputs resident, plus a
-    double-buffered chunk-sized recording block."""
+    6 stencil coefficients) + 3 scratch + the double-buffered chunk-sized
+    recording block in the state dtype, 6 f32 cell outputs."""
     npx = pad_tile(params.nx, _SUBLANE)
     npy = pad_tile(params.ny, _LANE)
-    cell = npx * npy * 4
-    return cell * (7 + 3 + 6) + 2 * chunk * cell
+    cells = npx * npy
+    sbytes = jnp.dtype(state_dtype).itemsize
+    return cells * sbytes * (7 + 3 + 2 * chunk) + cells * 4 * 6
 
 
-def fits_vmem(params: GridParams, chunk: int = 16) -> bool:
-    return _kernel_vmem_bytes(params, chunk) <= _VMEM_BUDGET_BYTES
+def fits_vmem(params: GridParams, chunk: int = 16,
+              state_dtype=jnp.float32) -> bool:
+    return _kernel_vmem_bytes(params, chunk, state_dtype) <= _VMEM_BUDGET_BYTES
 
 
 def simulate_auto(params: GridParams, beta, refl, pulse,
@@ -378,15 +413,21 @@ def simulate_auto(params: GridParams, beta, refl, pulse,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "compute_directions"))
+                   static_argnames=("params", "compute_directions",
+                                    "state_dtype"))
 def pipeline_auto(params: GridParams, beta, refl, pulse,
                   listener_ix, listener_iy, efree, listener_x, listener_z,
-                  compute_directions: bool = True):
+                  compute_directions: bool = True,
+                  state_dtype=jnp.float32):
     """Full pass: sim + analysis, fastest available path per platform.
 
     Returns (FdtdResult, AnalyzerResults). On TPU the analyzer moments are
     computed in-kernel (no [T, ...] reductions outside Pallas); elsewhere
     the lax.scan solver + jnp moments produce identical semantics.
+
+    ``state_dtype=jnp.bfloat16`` opts the fused kernel into half-precision
+    wave state (TPU VMEM-resident path only; the tiled and lax.scan paths
+    ignore it — they are the parity references).
 
     The whole pass compiles as ONE program: on the tunneled TPU backend
     each jitted call pays a fixed dispatch round-trip, and staging
@@ -398,9 +439,10 @@ def pipeline_auto(params: GridParams, beta, refl, pulse,
     from planeverb_tpu.ops import analyzer
 
     if jax.devices()[0].platform == "tpu":
-        if fits_vmem(params):
+        if fits_vmem(params, state_dtype=state_dtype):
             res, moments = simulate_moments_pallas(
-                params, beta, refl, pulse, listener_ix, listener_iy)
+                params, beta, refl, pulse, listener_ix, listener_iy,
+                state_dtype=state_dtype)
         else:
             from planeverb_tpu.ops.fdtd_tiled import simulate_moments_tiled
 

@@ -280,6 +280,72 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Batched multi-listener analysis in ONE device call (ops/batch.py).
+
+    The reference runs exactly one listener per context (PvContext.cpp:63-94);
+    here B listeners (split-screen / multiplayer, SURVEY.md §2 DP row) batch
+    over the leading axis and each source is read out of every listener's
+    parameter field."""
+    import jax.numpy as jnp
+
+    from planeverb_tpu.config import compute_grid_params, gaussian_pulse
+    from planeverb_tpu.core.free_grid import calibrate_free_field
+    from planeverb_tpu.ops import voxelize
+    from planeverb_tpu.ops.batch import (analyze_listeners,
+                                         simulate_listeners_auto)
+    from planeverb_tpu.types import PlaneverbOutput, vec2
+
+    listeners = [_xy(s) for s in args.listener]
+    sources = [_xy(s) for s in args.source]
+    if not listeners:
+        raise SystemExit("error: at least one --listener x,z required")
+    if not sources:
+        raise SystemExit("error: at least one --source x,z required")
+    params = compute_grid_params(_config(args))
+    scene = _load_scene(args.scene)
+    beta, refl = voxelize.voxelize_np(params, scene.boxes if scene else [])
+    pulse = jnp.asarray(gaussian_pulse(params))
+    efree = calibrate_free_field(params)
+
+    cells = [params.world_to_cell(lx, lz) for lx, lz in listeners]
+    for (cx, cy), (lx, lz) in zip(cells, listeners):
+        if not (0 <= cx < params.grid_x and 0 <= cy < params.grid_y):
+            raise SystemExit(f"error: listener ({lx:g}, {lz:g}) outside grid")
+    res = simulate_listeners_auto(
+        params, jnp.asarray(beta), jnp.asarray(refl), pulse,
+        jnp.asarray([c[0] for c in cells], jnp.int32),
+        jnp.asarray([c[1] for c in cells], jnp.int32))
+    out = analyze_listeners(
+        params, res, jnp.float32(efree),
+        jnp.asarray([lx for lx, _ in listeners], jnp.float32),
+        jnp.asarray([lz for _, lz in listeners], jnp.float32))
+    occ = np.asarray(out.occlusion)
+    wet = np.asarray(out.wet_gain)
+    rt60 = np.asarray(out.rt60)
+    lp = np.asarray(out.lowpass)
+    dirs = np.asarray(out.direction)
+    sdir = np.asarray(out.source_directivity)
+    for b, (lx, lz) in enumerate(listeners):
+        print(f"listener ({lx:g}, {lz:g}):")
+        for sx, sz in sources:
+            cx, cy = params.world_to_cell(sx, sz)
+            print(f"  source ({sx:g}, {sz:g}):")
+            if not (0 <= cx < params.grid_x and 0 <= cy < params.grid_y):
+                print("    outside grid")
+                continue
+            _print_params(PlaneverbOutput(
+                occlusion=float(occ[b, cx, cy]),
+                wet_gain=float(wet[b, cx, cy]),
+                rt60=float(rt60[b, cx, cy]),
+                lowpass=float(lp[b, cx, cy]),
+                direction=vec2(float(dirs[b, cx, cy, 0]),
+                               float(dirs[b, cx, cy, 1])),
+                source_directivity=vec2(float(sdir[b, cx, cy, 0]),
+                                        float(sdir[b, cx, cy, 1]))))
+    return 0
+
+
 def cmd_grid(args) -> int:
     # ASCII voxelization dump with listener/source markers
     # (Grid::PrintGrid analog, Grid.cpp:306-357)
@@ -394,6 +460,21 @@ def main(argv=None) -> int:
     p.add_argument("--source", action="append", required=True,
                    help="source x,z (repeatable)")
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("batch", help="batched multi-listener analysis in "
+                                     "one device call (split-screen / "
+                                     "multiplayer)")
+    p.add_argument("scene", nargs="?", default=None,
+                   help=".pv file or demo scene name (default: empty grid)")
+    p.add_argument("--listener", action="append", default=[], required=True,
+                   help="listener x,z (repeatable — one sim per listener)")
+    p.add_argument("--source", action="append", default=[], required=True,
+                   help="source x,z (repeatable)")
+    p.add_argument("--resolution", type=int, default=int(Resolution.DEFAULT),
+                   help="max simulated frequency Hz (275/375/500/750)")
+    p.add_argument("--grid-size", type=float, default=10.0,
+                   help="square grid edge length (m)")
+    p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("ir", help="dump an impulse response to .wav/.csv")
     common(p)

@@ -61,6 +61,11 @@ class ViewerServer:
         self.ctx = Context(self.config, scene=scene, mesh=mesh)
         self.scene_name = scene.name if scene is not None else ""
         self._lock = threading.Lock()   # serializes mutating commands
+        # occupancy strings memoized per geometry version: clients poll
+        # /api/state continuously, and re-voxelizing + string-joining the
+        # whole grid per poll is O(nx*ny) host work that only changes when
+        # the geometry does (quadratically unpleasant at 459x459)
+        self._occupancy_cache: tuple[int, list[str]] | None = None
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._httpd.daemon_threads = True
         self.address = self._httpd.server_address[:2]
@@ -83,10 +88,21 @@ class ViewerServer:
         self._httpd.server_close()
 
     # ------------------------------------------------------------- GET data
+    def _occupancy(self, version: int, boxes) -> list[str]:
+        cached = self._occupancy_cache
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        p = self.ctx.params
+        beta, _ = voxelize.voxelize_np(p, boxes)
+        rows = ["".join("." if beta[i, j] > 0 else "#"
+                        for j in range(p.ny))
+                for i in range(p.nx)]
+        self._occupancy_cache = (version, rows)
+        return rows
+
     def state(self) -> dict:
         p = self.ctx.params
-        _, boxes = self.ctx.geometry.snapshot()
-        beta, _ = voxelize.voxelize_np(p, boxes)
+        version, boxes = self.ctx.geometry.snapshot()
         lx, _, lz = self.ctx.get_listener_position()
         return {
             "grid": {"nx": p.nx, "ny": p.ny, "dx": p.dx, "fs": p.fs,
@@ -95,9 +111,7 @@ class ViewerServer:
                      "resolution": p.resolution,
                      "response_length": p.response_length},
             # one string per solver row: '#' solid, '.' air (PrintGrid analog)
-            "occupancy": ["".join("." if beta[i, j] > 0 else "#"
-                                  for j in range(p.ny))
-                          for i in range(p.nx)],
+            "occupancy": self._occupancy(version, boxes),
             "geometry": [{"id": gid, "cx": b.x, "cy": b.y, "w": b.width,
                           "h": b.height, "absorption": b.absorption}
                          for gid, b in self.ctx.geometry.items()],

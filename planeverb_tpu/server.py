@@ -129,8 +129,12 @@ class EngineServer:
                         "error": f"mesh wants {n_mesh} devices, "
                                  f"only {len(devices)} available"}
             mesh = grid_mesh(devices[:n_mesh])
-        self._ctx = Context(cfg, publish=req.get("publish", "cells"),
-                            mesh=mesh)
+        try:
+            self._ctx = Context(cfg, publish=req.get("publish", "cells"),
+                                mesh=mesh,
+                                precision=req.get("precision", "f32"))
+        except ValueError as e:
+            return {"ok": False, "error": str(e)}
         if req.get("background", True):
             self._ctx.start()
         resp = {"ok": True, "fs": self._ctx.params.fs,

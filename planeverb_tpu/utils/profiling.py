@@ -27,17 +27,31 @@ def time_chained(fn, n: int = 10, reps: int = 3) -> float:
     unique programs) and fetches once at the end. Returns the best per-pass
     mean over ``reps`` chains.
     """
+    return time_chained_stats(fn, n, reps)["min_s"]
+
+
+def time_chained_stats(fn, n: int = 10, reps: int = 3) -> dict:
+    """Like :func:`time_chained` but returns the per-chain spread, not just
+    the best point: {"min_s", "median_s", "max_s", "reps", "chain"}.
+
+    Each entry is a per-pass mean over one n-run chain; run-to-run swing on
+    the tunneled backend measured up to ~30% between rounds (BENCH_r01 vs
+    r02), so perf claims carry the whole spread.
+    """
     import numpy as np
 
-    best = float("inf")
+    means = []
     for rep in range(reps):
         t0 = time.perf_counter()
         eps = 1e-3 * (rep + 1)
         for _ in range(n):
             eps = fn(eps) * 1e-6
         float(np.asarray(eps))  # single fetch drains the chain
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+        means.append((time.perf_counter() - t0) / n)
+    return {"min_s": float(np.min(means)),
+            "median_s": float(np.median(means)),
+            "max_s": float(np.max(means)),
+            "reps": reps, "chain": n}
 
 
 class Stats:

@@ -368,3 +368,29 @@ def test_mesh_context_validation():
     bad = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("a", "b"))
     with pytest.raises(ValueError, match="axes"):
         pv.Context(CFG, mesh=bad)
+
+
+def test_precision_option():
+    """precision='bf16' is accepted (TPU fused-kernel mode; the CPU scan
+    fallback ignores it, so results here equal the f32 engine), and bad
+    combinations fail fast."""
+    import jax
+
+    from planeverb_tpu.parallel import grid_mesh
+
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                     precision="bf16")
+    ref = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    for c in (ctx, ref):
+        c.set_listener_position(5.0, 0.0, 5.0)
+        c.step()
+    a = ctx.result_at(6.0, 5.0)
+    b = ref.result_at(6.0, 5.0)
+    assert a.valid and a.occlusion == pytest.approx(b.occlusion, rel=1e-6)
+    ir = ctx.get_impulse_response(6.0, 5.0)
+    assert ir.dtype == np.float32 and np.abs(ir).max() > 0
+    with pytest.raises(ValueError, match="precision"):
+        pv.Context(CFG, precision="f8")
+    with pytest.raises(ValueError, match="single-device"):
+        pv.Context(CFG, precision="bf16",
+                   mesh=grid_mesh(jax.devices(), (2, 4)))

@@ -118,3 +118,67 @@ def test_vmem_guard():
     huge = compute_grid_params(PlaneverbConfig(
         grid_size_x=300.0, grid_size_y=300.0, grid_resolution=750))
     assert not fdtd_pallas.fits_vmem(huge)
+
+
+def test_bf16_state_mode_golden_parameters():
+    """Opt-in bf16 wave-state mode: the six acoustic parameters must stay
+    within parameter-level tolerances of the f32 pipeline (bit parity is
+    deliberately NOT required — the state carries ~3 fewer digits).
+
+    Measured headroom (SmallRoom, full 435-step response, interpret mode):
+    gains track within ~0.6% rel, RT60 within ~1.9%, lowpass within ~0.05%,
+    and directions/onsets did not move at all; bounds below are ~3x that.
+    """
+    from planeverb_tpu.core.free_grid import calibrate_free_field
+    from planeverb_tpu.ops import analyzer
+
+    p = compute_grid_params(CFG)
+    beta, refl = voxelize.voxelize_np(p, demo_scene("SmallRoom").boxes)
+    pulse = jnp.asarray(oracle.gaussian_pulse(p))
+    lix, liy = p.world_to_cell(5.0, 5.0)
+    efree = calibrate_free_field(p)
+
+    def run(state_dtype):
+        res, mom = fdtd_pallas.simulate_moments_pallas(
+            p, jnp.asarray(beta), jnp.asarray(refl), pulse,
+            jnp.int32(lix), jnp.int32(liy), interpret=True,
+            state_dtype=state_dtype)
+        return res, analyzer.analyze_moments(
+            p, mom, res.onset, res.flux_x, res.flux_y, np.float32(efree),
+            np.float32(5.0), np.float32(5.0))
+
+    res32, o32 = run(jnp.float32)
+    res16, o16 = run(jnp.bfloat16)
+    assert res16.pressure.dtype == jnp.bfloat16
+    # accumulators stay f32
+    assert res16.onset.dtype == jnp.float32
+    assert res16.flux_x.dtype == jnp.float32
+
+    def max_rel(a, b, floor=1e-6):
+        a, b = np.asarray(a), np.asarray(b)
+        m = np.abs(a) > floor
+        return float((np.abs(a - b)[m] / np.abs(a)[m]).max())
+
+    assert max_rel(o32.occlusion, o16.occlusion) < 0.02
+    assert max_rel(o32.wet_gain, o16.wet_gain) < 0.02
+    assert max_rel(o32.rt60, o16.rt60) < 0.06
+    assert max_rel(o32.lowpass, o16.lowpass) < 0.005
+    # direction fields: bounded angular deviation (onset ties could flip a
+    # cell's delay by one step; require < 2 degrees everywhere)
+    for name in ("direction", "source_directivity"):
+        d32, d16 = np.asarray(getattr(o32, name)), np.asarray(
+            getattr(o16, name))
+        dot = (d32 * d16).sum(-1)
+        nrm = (np.linalg.norm(d32, axis=-1) * np.linalg.norm(d16, axis=-1))
+        ok = nrm > 1e-9
+        ang = np.degrees(np.arccos(np.clip(dot[ok] / nrm[ok], -1.0, 1.0)))
+        assert ang.max() < 2.0, name
+
+
+def test_bf16_f32_mode_unchanged():
+    """The default f32 path must be bit-identical to before the bf16 mode
+    was added (the astype no-ops must compile away semantically)."""
+    p, ref, res = _run(demo_scene("SmallRoom"), 64)
+    np.testing.assert_array_equal(
+        np.asarray(res.pressure)[:, :p.nx, :p.ny],
+        np.asarray(ref.pressure))

@@ -58,6 +58,31 @@ class TestCli:
         with pytest.raises(SystemExit):
             main(["analyze", "NoSuchScene", "--source", "1,1"])
 
+    def test_batch_multi_listener(self, capsys):
+        """batch = one batched device call over B listeners (ops/batch.py);
+        each listener's readout must match the single-listener analyze
+        path at the same position."""
+        rc = main(["batch", "SmallRoom", "--listener", "5,5",
+                   "--listener", "3,3", "--source", "6.5,5",
+                   "--resolution", "275"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert out.count("listener (") == 2
+        assert out.count("occlusion") == 2
+        # first listener's block equals the single-listener analyze output
+        assert main(["analyze", "SmallRoom", "--listener", "5,5",
+                     "--source", "6.5,5", "--resolution", "275"]) == 0
+        single = capsys.readouterr().out
+        batch_first = out.split("listener (3, 3)")[0]
+        for line in single.splitlines():
+            if "occlusion" in line or "rt60" in line:
+                assert line in batch_first, line
+
+    def test_batch_requires_listener_in_grid(self):
+        with pytest.raises(SystemExit, match="outside grid"):
+            main(["batch", "SmallRoom", "--listener", "500,5",
+                  "--source", "6,5"])
+
     def test_grid(self, capsys):
         rc = main(["grid", "SmallRoom", "--resolution", "275"])
         assert rc == 0
@@ -137,3 +162,27 @@ class TestSweep:
                       for c in range(40)]
         assert col_height[0] == 10 and col_height[-1] <= 3
         assert all(a >= b for a, b in zip(col_height, col_height[1:]))
+
+
+def test_explore_demo_scripted():
+    """The interactive demo game's engine loop (examples/explore_demo.py)
+    in scripted mode: move, shut the door, verify the far emitter's dry
+    gain drops and the map renders both emitters."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "examples", "explore_demo.py")
+    spec = importlib.util.spec_from_file_location("explore_demo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    game = mod.ExploreGame()
+    frame = game.frame()
+    assert "@" in frame and "S" in frame and "R" in frame
+    open_dry = game.ctx.get_output(game.emitters["songbird"]).occlusion
+    assert game.handle("D")           # shut the door
+    shut_dry = game.ctx.get_output(game.emitters["songbird"]).occlusion
+    assert shut_dry < open_dry, (shut_dry, open_dry)
+    assert game.handle("w")           # movement re-steps the engine
+    assert not game.handle("q")       # quit
