@@ -97,7 +97,7 @@ def main() -> None:
 
     float(np.asarray(full_pass(0.0)))  # compile + warm
     pipeline_stats = time_chained_stats(full_pass, reps=5)
-    t_pipeline = pipeline_stats["min_s"]
+    t_pipeline = pipeline_stats["median_s"]
 
     def sim_only(eps):
         res = simulate_auto(params, beta, refl, pulse * (1.0 + eps),
@@ -106,7 +106,7 @@ def main() -> None:
 
     float(np.asarray(sim_only(0.0)))
     sim_stats = time_chained_stats(sim_only, reps=5)
-    t_sim = sim_stats["min_s"]
+    t_sim = sim_stats["median_s"]
 
     # --- baseline: NumPy oracle solver, per-step cost extrapolated from a
     # reduced-step run (the oracle's analyzer is a test-only per-cell Python
@@ -165,7 +165,7 @@ def main() -> None:
 
             float(np.asarray(one(0.0)))
             s = time_chained_stats(one, reps=3)
-            t = s["min_s"]
+            t = s["median_s"]
             rows[str(res)] = {
                 "grid": [p.nx, p.ny], "steps": p.response_length,
                 "pipeline_ms": round(t * 1e3, 2),
@@ -197,7 +197,7 @@ def main() -> None:
 
         float(np.asarray(one(0.0)))
         s = time_chained_stats(one, n=chain, reps=reps)
-        t = s["min_s"]
+        t = s["median_s"]
         return {
             "grid": [p.nx, p.ny], "steps": p.response_length,
             "recording_gb": round(p.nx * p.ny * p.response_length * 4 / 1e9,
@@ -215,6 +215,82 @@ def main() -> None:
         # at 750 Hz, T clamped to the headline workload's 1187 steps
         # (4.9 GB f32 recording; full-T would be 8.6 GB of a 16 GB chip)
         return _tiled(133.3, 1187, reps=2, chain=4)
+
+    # --- pure device throughput: K data-dependent sim passes inside ONE
+    # XLA program (one dispatch, one fetch) — no tunnel dispatch in the
+    # measured region at all. This is the number a production (untunneled)
+    # deployment sustains; the headline above additionally carries one
+    # ~0.2 ms dispatch round-trip per pass.
+    def _device_throughput():
+        from planeverb_tpu.ops.fdtd_pallas import simulate_moments_pallas
+
+        def k_passes(k):
+            @jax.jit
+            def prog(eps):
+                def one(carry, _):
+                    res, mom = simulate_moments_pallas(
+                        params, beta, refl, pulse * (1.0 + carry),
+                        lix, liy)
+                    return mom.e_total[5, 5] * 1e-6 + carry * 1e-3, None
+
+                final, _ = jax.lax.scan(one, eps, None, length=k)
+                return final
+
+            return prog
+
+        short, long_ = k_passes(2), k_passes(22)
+        float(np.asarray(short(jnp.float32(1e-3))))
+        float(np.asarray(long_(jnp.float32(1e-3))))
+        slopes = []
+        for rep in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(short(jnp.float32(1e-3 * (rep + 1)))))
+            t_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(np.asarray(long_(jnp.float32(1e-3 * (rep + 1) + 1e-5))))
+            slopes.append((time.perf_counter() - t0 - t_s) / 20.0)
+        t = float(np.median(slopes))
+        return {
+            "what": "sim+moments, 20-pass in-program scan slope",
+            "wall_ms": round(t * 1e3, 3),
+            "wall_ms_spread": [round(v * 1e3, 3)
+                               for v in (min(slopes), t, max(slopes))],
+            "gcups": round(cell_updates / t / 1e9, 2),
+        }
+
+    # --- opt-in bf16 wave-state mode (reported separately from the f32
+    # headline; parameters golden-gated within ~2%, see
+    # tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters)
+    def _bf16_mode():
+        from planeverb_tpu.ops.fdtd_pallas import simulate_pallas
+
+        def sim16(eps):
+            res = simulate_pallas(params, beta, refl, pulse * (1.0 + eps),
+                                  lix, liy, state_dtype=jnp.bfloat16)
+            return res.pressure[T - 1, 5, 5].astype(jnp.float32)
+
+        float(np.asarray(sim16(0.0)))
+        s = time_chained_stats(sim16, reps=5)
+
+        @jax.jit
+        def pipe16(eps):
+            _, out = pipeline_auto(params, beta, refl, pulse * (1.0 + eps),
+                                   lix, liy, jnp.float32(1.0),
+                                   jnp.float32(12.5), jnp.float32(12.5),
+                                   state_dtype=jnp.bfloat16)
+            return (out.occlusion[5, 5] + out.rt60[5, 5]
+                    + out.direction[5, 5, 0])
+
+        float(np.asarray(pipe16(0.0)))
+        sp = time_chained_stats(pipe16, reps=3)
+        return {
+            "sim_wall_ms": round(s["median_s"] * 1e3, 2),
+            "sim_wall_ms_spread": spread_ms(s),
+            "sim_gcups": round(cell_updates / s["median_s"] / 1e9, 2),
+            "pipeline_wall_ms": round(sp["median_s"] * 1e3, 2),
+            "pipeline_wall_ms_spread": spread_ms(sp),
+            "recording_hbm_bytes": t_pad * npx * npy * 2,
+        }
 
     # --- sharded Pallas solver, 1x1 mesh (per-chip rate of the multi-chip
     # path; parity with the fused kernel is bit-exact, tests pin it)
@@ -242,7 +318,10 @@ def main() -> None:
 
     if platform == "tpu":
         for key, fn in (("resolutions", _resolution_table),
+                        ("device_throughput", _device_throughput),
                         ("tiled_large_grid", _tiled_large),
+                        ("tiled_xl", _tiled_xl),
+                        ("bf16_mode", _bf16_mode),
                         ("sharded_pallas_1x1", _sharded_pallas)):
             try:
                 extras[key] = fn()
@@ -254,6 +333,9 @@ def main() -> None:
         "value": round(rate),
         "unit": "cell-updates/s",
         "vs_baseline": round(rate / rate_oracle, 2),
+        "timing": "paired-chain slope, median of reps; the r01/r02 "
+                  "single-chain means silently included ~1/n of a 25-35ms "
+                  "tunnel fetch (see utils/profiling.py)",
         "platform": platform,
         "device": device,
         "grid": [params.nx, params.ny],

@@ -17,40 +17,61 @@ __all__ = ["StageTimer", "Stats", "throughput", "device_trace",
 
 
 def time_chained(fn, n: int = 10, reps: int = 3) -> float:
-    """Per-pass wall time of fn, measured as a chain of n dependent runs.
+    """Per-pass wall time of fn via the paired-chain slope (median of reps).
 
-    On the tunneled TPU backend ``block_until_ready`` returns immediately and
-    identical executions may be served from a relay cache, so honest timing
-    requires data dependence: ``fn(eps)`` must seed its input with ``eps``
-    and return a scalar jax value derived from its output; the chain feeds
-    each output into the next input (forcing sequential device execution and
-    unique programs) and fetches once at the end. Returns the best per-pass
-    mean over ``reps`` chains.
+    See :func:`time_chained_stats` for the methodology.
     """
-    return time_chained_stats(fn, n, reps)["min_s"]
+    return time_chained_stats(fn, n, reps)["median_s"]
 
 
-def time_chained_stats(fn, n: int = 10, reps: int = 3) -> dict:
-    """Like :func:`time_chained` but returns the per-chain spread, not just
-    the best point: {"min_s", "median_s", "max_s", "reps", "chain"}.
+def _run_chain(fn, n: int, seed: float) -> float:
+    """Wall time of one n-run dependent chain ending in a single fetch."""
+    import numpy as np
 
-    Each entry is a per-pass mean over one n-run chain; run-to-run swing on
-    the tunneled backend measured up to ~30% between rounds (BENCH_r01 vs
-    r02), so perf claims carry the whole spread.
+    t0 = time.perf_counter()
+    eps = seed
+    for _ in range(n):
+        eps = fn(eps) * 1e-6
+    float(np.asarray(eps))  # single fetch drains the chain
+    return time.perf_counter() - t0
+
+
+def time_chained_stats(fn, n: int = 25, reps: int = 5) -> dict:
+    """Per-pass wall time of fn as a PAIRED-CHAIN SLOPE, with spread:
+    {"min_s", "median_s", "max_s", "reps", "chain"}.
+
+    On the tunneled TPU backend ``block_until_ready`` returns immediately
+    and identical executions may be served from a relay cache, so honest
+    timing requires data dependence: ``fn(eps)`` must seed its input with
+    ``eps`` and return a scalar jax value derived from its output; a chain
+    feeds each output into the next input and fetches once at the end.
+
+    A single chain's mean is NOT honest: the end-of-chain fetch costs a
+    ~25-35 ms round-trip with ±10s-of-ms jitter (measured: a chained
+    scalar no-op "costs" 2.7 ms/run at n=10 but 0.8 ms/run at n=40), which
+    silently floors every per-run mean at roughly fetch/n. Every rep here
+    therefore times a SHORT chain and a LONG chain (same fetch each) and
+    takes the slope (T_long − T_short)/(n_long − n_short) — the fetch
+    cancels. The headline is the MEDIAN of rep slopes (individual slopes
+    still carry the fetch jitter; the min would chase it); min/max bound
+    the spread. Distinct seeds per chain keep the relay cache out.
     """
     import numpy as np
 
-    means = []
+    n_short = 2
+    estimates = []
     for rep in range(reps):
-        t0 = time.perf_counter()
-        eps = 1e-3 * (rep + 1)
-        for _ in range(n):
-            eps = fn(eps) * 1e-6
-        float(np.asarray(eps))  # single fetch drains the chain
-        means.append((time.perf_counter() - t0) / n)
-    return {"min_s": float(np.min(means)),
-            "median_s": float(np.median(means)),
-            "max_s": float(np.max(means)),
+        t_short = _run_chain(fn, n_short, 1e-3 * (2 * rep + 1))
+        t_long = _run_chain(fn, n_short + n, 1e-3 * (2 * rep + 2))
+        slope = (t_long - t_short) / n
+        mean_long = t_long / (n_short + n)
+        # the long-chain mean upper-bounds the true per-pass time (it
+        # carries fetch/n); a slope outside (0, mean] is fetch jitter that
+        # outweighed the chain delta — fall back to the mean for that rep
+        estimates.append(slope if 0.0 < slope <= mean_long else mean_long)
+    return {"min_s": float(np.min(estimates)),
+            "median_s": float(np.median(estimates)),
+            "max_s": float(np.max(estimates)),
             "reps": reps, "chain": n}
 
 
