@@ -248,7 +248,12 @@ def main() -> None:
             t_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(np.asarray(long_(jnp.float32(1e-3 * (rep + 1) + 1e-5))))
-            slopes.append((time.perf_counter() - t0 - t_s) / 20.0)
+            t_l = time.perf_counter() - t0
+            slope = (t_l - t_s) / 20.0
+            # same jitter guard as time_chained_stats: a slope outside
+            # (0, mean_long] means fetch jitter beat the delta
+            mean_long = t_l / 22.0
+            slopes.append(slope if 0.0 < slope <= mean_long else mean_long)
         t = float(np.median(slopes))
         return {
             "what": "sim+moments, 20-pass in-program scan slope",

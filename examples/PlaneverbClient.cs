@@ -76,6 +76,9 @@ namespace Planeverb
         [DllImport(DLL)] public static extern void PlaneverbUpdateGeometry(
             IntPtr ctx, int id, float x, float y, float width, float height,
             float absorption);
+        [DllImport(DLL)] public static extern void
+            PlaneverbUpdateGeometryMaterial(IntPtr ctx, int id, float x,
+                float y, float width, float height, string material);
         [DllImport(DLL)] public static extern void PlaneverbRemoveGeometry(
             IntPtr ctx, int id);
         [DllImport(DLL)] public static extern void
@@ -136,7 +139,8 @@ namespace Planeverb
         {
             int id = Native.PlaneverbAddGeometryMaterial(
                 _ctx, x, z, width, height, material);
-            return new PlaneverbObject(this, id, x, z, width, height);
+            return new PlaneverbObject(this, id, x, z, width, height,
+                                       material);
         }
 
         public void SetListenerPosition(float x, float y, float z)
@@ -203,17 +207,22 @@ namespace Planeverb
     }
 
     /// A static or movable occluder (reference PlaneverbObject.cs: bounds
-    /// tracked per frame; material enum -> absorption row). Move/Resize
-    /// re-sends the AABB; Remove frees the engine id.
+    /// tracked per frame; material enum -> absorption row). Move and
+    /// Resize re-send the AABB with the creation material preserved;
+    /// Remove frees the engine id.
     public sealed class PlaneverbObject
     {
         private readonly PlaneverbContext _owner;
-        private float _absorption = 0.989949494f; // GeometryType.Default
+        private readonly string _material;
         public int Id { get; }
 
         internal PlaneverbObject(PlaneverbContext owner, int id,
-                                 float x, float z, float w, float h)
-        { _owner = owner; Id = id; X = x; Z = z; Width = w; Height = h; }
+                                 float x, float z, float w, float h,
+                                 string material)
+        {
+            _owner = owner; Id = id; X = x; Z = z; Width = w; Height = h;
+            _material = material;
+        }
 
         public float X { get; private set; }
         public float Z { get; private set; }
@@ -223,8 +232,15 @@ namespace Planeverb
         public void Move(float x, float z)
         {
             X = x; Z = z;
-            Native.PlaneverbUpdateGeometry(_owner.Handle, Id, X, Z,
-                                           Width, Height, _absorption);
+            Native.PlaneverbUpdateGeometryMaterial(
+                _owner.Handle, Id, X, Z, Width, Height, _material);
+        }
+
+        public void Resize(float width, float height)
+        {
+            Width = width; Height = height;
+            Native.PlaneverbUpdateGeometryMaterial(
+                _owner.Handle, Id, X, Z, Width, Height, _material);
         }
 
         public void Remove()

@@ -6,14 +6,15 @@ a terminal game against the TPU engine:
 
   - WASD / arrow keys walk the listener through a 10x10 m room with a
     doorway wall; the engine re-simulates as you move.
-  - `d` slides the door shut / open (a moving 3D object resynced into the
-    solver per frame, core/objects.py — PlaneverbObject.cs analog).
+  - `D` (shift-d) slides the door shut / open (a moving 3D object resynced
+    into the solver per frame, core/objects.py — PlaneverbObject.cs
+    analog).
   - Two emitters (one behind the wall) show live occlusion / wet gain /
     RT60 / direction arrows, the readouts PlaneverbAudioSource polls per
     frame (PlaneverbAudioSource.cs:171-183).
 
 Run interactively:   PYTHONPATH=. python examples/explore_demo.py
-Scripted (CI/tests): PYTHONPATH=. python examples/explore_demo.py --script wwddq
+Scripted (CI/tests): PYTHONPATH=. python examples/explore_demo.py --script wwDq
 """
 
 from __future__ import annotations
@@ -103,7 +104,7 @@ class ExploreGame:
         lines = ["  " + r for r in rows]
         lines.append(f"  @ listener ({self.pos[0]:.1f}, {self.pos[1]:.1f})"
                      f"   door: {'SHUT' if self.door_shut else 'open'}"
-                     "   [wasd move, d.. door via D, q quit]")
+                     "   [wasd/arrows move, D door, q quit]")
         for name, eid in sorted(self.emitters.items()):
             out = self.ctx.get_output(eid)
             if not out.valid:

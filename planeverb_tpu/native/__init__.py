@@ -137,6 +137,9 @@ def load_engine_client_library() -> ctypes.CDLL:
     lib.PlaneverbAddGeometryMaterial.restype = i32
     lib.PlaneverbAddGeometryMaterial.argtypes = [void_p, f32, f32, f32, f32,
                                                  ctypes.c_char_p]
+    lib.PlaneverbUpdateGeometryMaterial.argtypes = [void_p, i32, f32, f32,
+                                                    f32, f32,
+                                                    ctypes.c_char_p]
     _ENGINE_LIB = lib
     return lib
 
@@ -194,6 +197,11 @@ class NativeEngineClient:
                                               absorption)
 
     def update_geometry(self, gid, x, y, width, height, absorption) -> None:
+        """``absorption``: R float or material name, as in add_geometry."""
+        if isinstance(absorption, str):
+            self._lib.PlaneverbUpdateGeometryMaterial(
+                self._h, gid, x, y, width, height, absorption.encode())
+            return
         self._lib.PlaneverbUpdateGeometry(self._h, gid, x, y, width, height,
                                           absorption)
 

@@ -364,6 +364,33 @@ int PlaneverbGetOutputs(void* c, const int* ids, int count,
     return n_valid;
 }
 
+}  // extern "C"
+
+// JSON string escape for caller-supplied material names: quotes,
+// backslashes and control characters would otherwise break the request
+// line (or inject keys into it).
+static std::string json_escape(const char* s) {
+    std::string out;
+    for (; s && *s; s++) {
+        unsigned char ch = static_cast<unsigned char>(*s);
+        switch (ch) {
+            case '"': out += "\\\""; break;
+            case '\\': out += "\\\\"; break;
+            default:
+                if (ch < 0x20) {
+                    char buf[8];
+                    snprintf(buf, sizeof buf, "\\u%04x", ch);
+                    out += buf;
+                } else {
+                    out += static_cast<char>(ch);
+                }
+        }
+    }
+    return out;
+}
+
+extern "C" {
+
 // AddGeometry with a material name resolved server-side against the
 // 38-entry table (PlaneverbObject.cs:203-244 enum analog). ``material``
 // must be a table name like "CONCRETE_ROUGH" (or a numeric string).
@@ -372,7 +399,19 @@ int PlaneverbAddGeometryMaterial(void* c, float x, float y, float width,
     return reply_id(c, std::string("{\"cmd\":\"add_geometry\",\"x\":") +
                        fmt(x) + ",\"y\":" + fmt(y) + ",\"width\":" +
                        fmt(width) + ",\"height\":" + fmt(height) +
-                       ",\"absorption\":\"" + material + "\"}");
+                       ",\"absorption\":\"" + json_escape(material) +
+                       "\"}");
+}
+
+// UpdateGeometry preserving a named material (the float form above would
+// require the caller to know the resolved R).
+void PlaneverbUpdateGeometryMaterial(void* c, int id, float x, float y,
+                                     float width, float height,
+                                     const char* material) {
+    fire(c, std::string("{\"cmd\":\"update_geometry\",\"id\":") + fmt(id) +
+            ",\"x\":" + fmt(x) + ",\"y\":" + fmt(y) +
+            ",\"width\":" + fmt(width) + ",\"height\":" + fmt(height) +
+            ",\"absorption\":\"" + json_escape(material) + "\"}");
 }
 
 }  // extern "C"

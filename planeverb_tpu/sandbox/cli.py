@@ -296,12 +296,9 @@ def cmd_batch(args) -> int:
                                          simulate_listeners_auto)
     from planeverb_tpu.types import PlaneverbOutput, vec2
 
+    # argparse enforces required=True on --listener/--source
     listeners = [_xy(s) for s in args.listener]
     sources = [_xy(s) for s in args.source]
-    if not listeners:
-        raise SystemExit("error: at least one --listener x,z required")
-    if not sources:
-        raise SystemExit("error: at least one --source x,z required")
     params = compute_grid_params(_config(args))
     scene = _load_scene(args.scene)
     beta, refl = voxelize.voxelize_np(params, scene.boxes if scene else [])

@@ -57,7 +57,11 @@ class ViewerServer:
 
             from planeverb_tpu.parallel import grid_mesh
 
-            mesh = grid_mesh(jax.devices()[:mesh_devices])
+            devices = jax.devices()
+            if mesh_devices > len(devices):
+                raise ValueError(f"mesh wants {mesh_devices} devices, "
+                                 f"only {len(devices)} available")
+            mesh = grid_mesh(devices[:mesh_devices])
         self.ctx = Context(self.config, scene=scene, mesh=mesh)
         self.scene_name = scene.name if scene is not None else ""
         self._lock = threading.Lock()   # serializes mutating commands

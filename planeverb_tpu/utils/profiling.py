@@ -13,7 +13,7 @@ import contextlib
 import time
 
 __all__ = ["StageTimer", "Stats", "throughput", "device_trace",
-           "time_chained"]
+           "time_chained", "time_chained_stats"]
 
 
 def time_chained(fn, n: int = 10, reps: int = 3) -> float:

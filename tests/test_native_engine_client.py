@@ -147,6 +147,14 @@ def test_add_geometry_material_through_c_abi(cabi, server):
     assert gid >= 0
     box = server._ctx.geometry.get(gid)
     assert box.absorption == MATERIALS.WOOD_PANEL
+    # update preserving a named material (PlaneverbUpdateGeometryMaterial)
+    cabi.update_geometry(gid, 4.0, 4.0, 2.0, 2.0, "CONCRETE_ROUGH")
+    box = server._ctx.geometry.get(gid)
+    assert box.x == 4.0 and box.absorption == MATERIALS.CONCRETE_ROUGH
+    # quotes/backslashes in a material name must cross as well-formed JSON
+    # (json_escape) and resolve to a clean unknown-material error, not a
+    # protocol failure that kills the connection
+    assert cabi.add_geometry(1.0, 1.0, 1.0, 1.0, 'BO"G\\US') == -1
     assert cabi.add_geometry(1.0, 1.0, 1.0, 1.0, "BOGUS") == -1
     cabi.exit()
 

@@ -138,8 +138,8 @@ def test_init_with_mesh(client):
     r = client.call("init", grid_size_x=10, grid_size_y=10,
                     grid_resolution=275, background=False, mesh=8)
     assert r["ok"] and r["mesh"] == {"x": 2, "y": 4}
-    client.call("add_geometry", cx=5.0, cy=5.0, sx=1.0, sy=1.0,
-                absorption=0.9)
+    assert client.call("add_geometry", x=5.0, y=5.0, width=1.0, height=1.0,
+                       absorption=0.9)["ok"]
     client.call("set_listener_position", x=3.0, y=0.0, z=5.0)
     e = client.call("emit", x=7.0, y=0.0, z=5.0)["id"]
     client.call("step")
@@ -148,8 +148,8 @@ def test_init_with_mesh(client):
     r = client.call("init", grid_size_x=10, grid_size_y=10,
                     grid_resolution=275, background=False)
     assert r["ok"] and "mesh" not in r
-    client.call("add_geometry", cx=5.0, cy=5.0, sx=1.0, sy=1.0,
-                absorption=0.9)
+    assert client.call("add_geometry", x=5.0, y=5.0, width=1.0, height=1.0,
+                       absorption=0.9)["ok"]
     client.call("set_listener_position", x=3.0, y=0.0, z=5.0)
     e = client.call("emit", x=7.0, y=0.0, z=5.0)["id"]
     client.call("step")
