@@ -243,8 +243,11 @@ def main() -> None:
         float(np.asarray(long_(jnp.float32(1e-3))))
         slopes = []
         for rep in range(5):
+            # seeds offset from the 1e-3 warm-up inputs: an input-identical
+            # rerun can be served by the tunnel's relay cache (CLAUDE.md),
+            # which would zero t_s and corrupt that rep's slope
             t0 = time.perf_counter()
-            float(np.asarray(short(jnp.float32(1e-3 * (rep + 1)))))
+            float(np.asarray(short(jnp.float32(1e-3 * (rep + 1) + 7e-5))))
             t_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(np.asarray(long_(jnp.float32(1e-3 * (rep + 1) + 1e-5))))

@@ -86,12 +86,23 @@ class ExploreGame:
         self.ctx.step()
 
     # -------------------------------------------------------------- render
-    def frame(self) -> str:
+    def _occupancy(self):
+        """Voxelized beta grid memoized per geometry version: most frames
+        only move the listener, and re-voxelizing the whole grid on the
+        host per keypress is O(nx*ny) for an unchanged map."""
         from planeverb_tpu.ops import voxelize
 
+        version, boxes = self.ctx.geometry.snapshot()
+        cached = getattr(self, "_occupancy_cache", None)
+        if cached is None or cached[0] != version:
+            beta, _ = voxelize.voxelize_np(self.ctx.params, boxes)
+            cached = (version, beta)
+            self._occupancy_cache = cached
+        return cached[1]
+
+    def frame(self) -> str:
         p = self.ctx.params
-        _, boxes = self.ctx.geometry.snapshot()
-        beta, _ = voxelize.voxelize_np(p, boxes)
+        beta = self._occupancy()
         marks = {p.world_to_cell(*self.pos): "@"}
         for name, eid in self.emitters.items():
             epos = self.ctx.emissions.get(eid)

@@ -336,10 +336,15 @@ def material_r(material) -> float:
         if hasattr(MATERIALS, key):
             return float(getattr(MATERIALS, key))
         try:
-            return float(material)
+            value = float(material)
         except ValueError:
+            value = None
+        # a numeric string must also be finite: float("nan")/float("inf")
+        # parse fine but would silently poison the stencil coefficients
+        if value is None or not math.isfinite(value):
             names = [f.name for f in dataclasses.fields(MATERIALS)]
             raise ValueError(
                 f"unknown material {material!r}; known names: "
                 f"{', '.join(names)}") from None
+        return value
     return float(material)

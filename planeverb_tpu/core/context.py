@@ -39,6 +39,23 @@ from planeverb_tpu.utils.profiling import StageTimer
 __all__ = ["Context"]
 
 
+def _pack(out) -> jax.Array:
+    """Analyzer grids -> the ONE packed [gx, gy, 9] publish array.
+
+    The column layout — occlusion, wet_gain, rt60, lowpass, direction xy,
+    source_directivity xy, delay_samples — is load-bearing: _output_from_row,
+    the cells-mode row slicing, and the server/C-ABI "rows" wire format all
+    index it positionally, so the single-device and sharded pipelines must
+    share this one definition.
+    """
+    return jnp.concatenate([
+        out.occlusion[..., None], out.wet_gain[..., None],
+        out.rt60[..., None], out.lowpass[..., None],
+        out.direction, out.source_directivity,
+        out.delay_samples[..., None],
+    ], axis=-1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("params", "compute_directions",
                                     "state_dtype"))
@@ -50,19 +67,12 @@ def _pipeline_packed(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
     On the tunneled TPU backend every host fetch is a full round-trip
     (~35 ms); publishing the seven result grids as separate np.asarray calls
     measured ~235 ms per iteration — 30x the 7.7 ms of actual compute. One
-    packed array = one fetch. Layout: occlusion, wet_gain, rt60, lowpass,
-    direction xy, source_directivity xy, delay_samples.
+    packed array = one fetch (layout: :func:`_pack`).
     """
     res, out = pipeline_auto(params, beta, refl, pulse, cix, ciy, efree,
                              lx, lz, compute_directions=compute_directions,
                              state_dtype=state_dtype)
-    packed = jnp.concatenate([
-        out.occlusion[..., None], out.wet_gain[..., None],
-        out.rt60[..., None], out.lowpass[..., None],
-        out.direction, out.source_directivity,
-        out.delay_samples[..., None],
-    ], axis=-1)
-    return res.pressure, packed
+    return res.pressure, _pack(out)
 
 
 @functools.partial(jax.jit,
@@ -110,13 +120,7 @@ def _pipeline_packed_sharded(params, beta, refl, pulse, cix, ciy, efree,
         params, beta, refl, pulse, cix, ciy, mesh, nx_pad, ny_pad,
         efree, lx, lz, halo=halo, interpret=interpret,
         compute_directions=compute_directions)
-    packed = jnp.concatenate([
-        out.occlusion[..., None], out.wet_gain[..., None],
-        out.rt60[..., None], out.lowpass[..., None],
-        out.direction, out.source_directivity,
-        out.delay_samples[..., None],
-    ], axis=-1)
-    return res.pressure, packed
+    return res.pressure, _pack(out)
 
 
 @functools.partial(jax.jit,

@@ -8,7 +8,8 @@ timestep inside ``shard_map`` (riding ICI), and the analyzer runs under the
 same sharding with XLA inserting the few collectives it needs.
 """
 
-from planeverb_tpu.parallel.mesh import grid_mesh, pad_to_mesh
+from planeverb_tpu.parallel.mesh import (grid_mesh, mesh_from_count,
+                                         pad_to_mesh)
 from planeverb_tpu.parallel.multihost import (init_distributed,
                                               multihost_grid_mesh)
 from planeverb_tpu.parallel.solver import simulate_sharded, simulate_sharded_wide
@@ -16,7 +17,7 @@ from planeverb_tpu.parallel.solver_pallas import (pipeline_sharded,
                                                   simulate_moments_sharded,
                                                   simulate_sharded_pallas)
 
-__all__ = ["grid_mesh", "pad_to_mesh", "simulate_sharded",
+__all__ = ["grid_mesh", "mesh_from_count", "pad_to_mesh", "simulate_sharded",
            "simulate_sharded_wide", "simulate_sharded_pallas",
            "simulate_moments_sharded", "pipeline_sharded",
            "init_distributed", "multihost_grid_mesh"]

@@ -8,7 +8,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["grid_mesh", "pad_to_mesh", "factor_mesh"]
+__all__ = ["grid_mesh", "mesh_from_count", "pad_to_mesh", "factor_mesh"]
 
 
 def factor_mesh(n: int) -> tuple[int, int]:
@@ -36,6 +36,20 @@ def grid_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
         raise ValueError(f"mesh shape {shape} != {n} devices")
     arr = np.asarray(devices).reshape(mx, my)
     return Mesh(arr, ("x", "y"))
+
+
+def mesh_from_count(n_devices: int) -> Mesh:
+    """Most-square 2D mesh over the first ``n_devices`` available devices.
+
+    The one validation + construction path behind every user-facing
+    "--mesh N" knob (server init, viewer, CLI); raises ``ValueError`` when
+    the host has fewer devices than requested.
+    """
+    devices = jax.devices()
+    if n_devices > len(devices):
+        raise ValueError(f"mesh wants {n_devices} devices, "
+                         f"only {len(devices)} available")
+    return grid_mesh(devices[:n_devices])
 
 
 def pad_to_mesh(nx: int, ny: int, mesh: Mesh,

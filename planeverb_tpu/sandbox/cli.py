@@ -385,9 +385,13 @@ def cmd_view(args) -> int:
     # Editor.cpp:563-651 grid view / 396-434 readouts / 449-477 IR plots)
     from planeverb_tpu.sandbox.viewer import ViewerServer
 
-    viewer = ViewerServer(_config(args), scene=_load_scene(args.scene),
-                          host=args.host, port=args.port,
-                          mesh_devices=args.mesh)
+    try:
+        viewer = ViewerServer(_config(args), scene=_load_scene(args.scene),
+                              host=args.host, port=args.port,
+                              mesh_devices=args.mesh)
+    except ValueError as e:  # e.g. --mesh N beyond the device count
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     lx, lz = _xy(args.listener)
     viewer.ctx.set_listener_position(lx, 0.0, lz)
     host, port = viewer.address

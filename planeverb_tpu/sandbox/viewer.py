@@ -53,15 +53,9 @@ class ViewerServer:
         self.config = config or PlaneverbConfig()
         mesh = None
         if mesh_devices > 0:
-            import jax
+            from planeverb_tpu.parallel import mesh_from_count
 
-            from planeverb_tpu.parallel import grid_mesh
-
-            devices = jax.devices()
-            if mesh_devices > len(devices):
-                raise ValueError(f"mesh wants {mesh_devices} devices, "
-                                 f"only {len(devices)} available")
-            mesh = grid_mesh(devices[:mesh_devices])
+            mesh = mesh_from_count(mesh_devices)
         self.ctx = Context(self.config, scene=scene, mesh=mesh)
         self.scene_name = scene.name if scene is not None else ""
         self._lock = threading.Lock()   # serializes mutating commands

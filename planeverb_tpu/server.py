@@ -119,16 +119,12 @@ class EngineServer:
         n_mesh = int(req.get("mesh", self._mesh_devices))
         mesh = None
         if n_mesh > 0:
-            import jax
+            from planeverb_tpu.parallel import mesh_from_count
 
-            from planeverb_tpu.parallel import grid_mesh
-
-            devices = jax.devices()
-            if n_mesh > len(devices):
-                return {"ok": False,
-                        "error": f"mesh wants {n_mesh} devices, "
-                                 f"only {len(devices)} available"}
-            mesh = grid_mesh(devices[:n_mesh])
+            try:
+                mesh = mesh_from_count(n_mesh)
+            except ValueError as e:
+                return {"ok": False, "error": str(e)}
         try:
             self._ctx = Context(cfg, publish=req.get("publish", "cells"),
                                 mesh=mesh,
@@ -176,24 +172,27 @@ class EngineServer:
         self._ctx.emissions.end(int(req["id"]))
         return {"ok": True}
 
-    def _get_output(self, req):
-        out = self._ctx.get_output(int(req["id"]))
+    @staticmethod
+    def _output_vals(out):
+        """PlaneverbOutput -> (8 floats, valid) with NaN/Inf validation
+        before handing params to an audio engine (PlaneverbDSPUnity.cpp:
+        102-110 analog): invalid => occlusion sentinel −1, zero-fill. The
+        single source of truth for both the per-id and batched queries."""
         vals = [out.occlusion, out.wet_gain, out.rt60, out.lowpass,
                 out.direction.x, out.direction.y,
                 out.source_directivity.x, out.source_directivity.y]
-        # NaN/Inf validation before handing params to an audio engine
-        # (PlaneverbDSPUnity.cpp:102-110 analog): mark invalid, zero-fill
-        if not all(np.isfinite(v) for v in vals):
-            return {"ok": True, "valid": False, "occlusion": -1.0,
-                    "wet_gain": 0.0, "rt60": 0.0, "lowpass": 0.0,
-                    "direction": [0.0, 0.0],
-                    "source_directivity": [0.0, 0.0]}
-        return {"ok": True, "valid": out.valid,
-                "occlusion": out.occlusion, "wet_gain": out.wet_gain,
-                "rt60": out.rt60, "lowpass": out.lowpass,
-                "direction": [out.direction.x, out.direction.y],
-                "source_directivity": [out.source_directivity.x,
-                                       out.source_directivity.y]}
+        valid = out.valid and all(np.isfinite(v) for v in vals)
+        if not valid:
+            vals = [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        return [float(v) for v in vals], valid
+
+    def _get_output(self, req):
+        vals, valid = self._output_vals(self._ctx.get_output(int(req["id"])))
+        return {"ok": True, "valid": valid,
+                "occlusion": vals[0], "wet_gain": vals[1],
+                "rt60": vals[2], "lowpass": vals[3],
+                "direction": vals[4:6],
+                "source_directivity": vals[6:8]}
 
     def _get_outputs(self, req):
         """Batched per-frame query: every requested (default: every live)
@@ -212,14 +211,8 @@ class EngineServer:
         ids = [int(i) for i in ids]
         rows: list[float] = []
         for eid in ids:
-            out = self._ctx.get_output(eid)
-            vals = [out.occlusion, out.wet_gain, out.rt60, out.lowpass,
-                    out.direction.x, out.direction.y,
-                    out.source_directivity.x, out.source_directivity.y]
-            valid = out.valid and all(np.isfinite(v) for v in vals)
-            if not valid:  # sentinel + zero-fill (PlaneverbDSPUnity.cpp:102)
-                vals = [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-            rows.extend([float(v) for v in vals] + [1.0 if valid else 0.0])
+            vals, valid = self._output_vals(self._ctx.get_output(eid))
+            rows.extend(vals + [1.0 if valid else 0.0])
         return {"ok": True, "count": len(ids), "ids": ids, "rows": rows}
 
     def _add_geometry(self, req):

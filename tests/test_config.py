@@ -77,3 +77,8 @@ def test_material_r_lookup():
     assert material_r("0.25") == 0.25                      # numeric string
     with pytest.raises(ValueError, match="unknown material"):
         material_r("UNOBTAINIUM")
+    # non-finite numeric strings parse via float() but would poison the
+    # stencil coefficients — rejected like any unknown name
+    for bad in ("nan", "NaN", "inf", "-inf", "Infinity"):
+        with pytest.raises(ValueError, match="unknown material"):
+            material_r(bad)
