@@ -300,6 +300,46 @@ def main() -> None:
             "recording_hbm_bytes": t_pad * npx * npy * 2,
         }
 
+    # --- beyond-VMEM shard through the ENGINE's sharded path: when a
+    # shard's round kernel exceeds the VMEM budget, simulate_moments_sharded
+    # auto-routes to the band-streamed round kernel (HBM state,
+    # parallel/solver_pallas.py::_banded_round_kernel) — the path a
+    # Context(mesh=...) takes on the 100x-grid scaling workload
+    def _sharded_banded():
+        from planeverb_tpu.parallel import (grid_mesh, pad_to_mesh,
+                                            simulate_moments_sharded)
+
+        c = PlaneverbConfig(grid_size_x=60.0, grid_size_y=60.0,
+                            grid_resolution=750)
+        p2 = compute_grid_params(c)
+        mesh = grid_mesh(jax.devices()[:1], (1, 1))
+        nxp, nyp = pad_to_mesh(p2.nx, p2.ny, mesh, multiple=8)
+        b, r = voxelize.voxelize_np(p2, demo_scene("HugeRoom").boxes)
+        pu = jnp.asarray(gaussian_pulse(p2))
+        ix, iy = p2.world_to_cell(30.0, 30.0)
+        bp = jnp.zeros((nxp, nyp),
+                       jnp.float32).at[:p2.nx, :p2.ny].set(jnp.asarray(b))
+        rp = jnp.zeros((nxp, nyp),
+                       jnp.float32).at[:p2.nx, :p2.ny].set(jnp.asarray(r))
+        cx, cy = int(ix), int(iy)
+
+        def one(eps):
+            res, mom = simulate_moments_sharded(
+                p2, bp, rp, pu * (1.0 + eps), jnp.int32(ix), jnp.int32(iy),
+                mesh, nxp, nyp, halo=16)
+            return mom.e_total[cx, cy] * 1e-3
+
+        float(np.asarray(one(0.0)))
+        s = time_chained_stats(one, n=10, reps=3)
+        t = s["median_s"]
+        return {
+            "mesh": "1x1", "grid": [p2.nx, p2.ny], "halo": 16,
+            "what": "beyond-VMEM shard auto-routed to banded round kernel",
+            "wall_ms": round(t * 1e3, 1),
+            "wall_ms_spread": spread_ms(s),
+            "gcups": round(p2.nx * p2.ny * p2.response_length / t / 1e9, 2),
+        }
+
     # --- sharded Pallas solver, 1x1 mesh (per-chip rate of the multi-chip
     # path; parity with the fused kernel is bit-exact, tests pin it)
     def _sharded_pallas():
@@ -330,7 +370,8 @@ def main() -> None:
                         ("tiled_large_grid", _tiled_large),
                         ("tiled_xl", _tiled_xl),
                         ("bf16_mode", _bf16_mode),
-                        ("sharded_pallas_1x1", _sharded_pallas)):
+                        ("sharded_pallas_1x1", _sharded_pallas),
+                        ("sharded_banded_1x1", _sharded_banded)):
             try:
                 extras[key] = fn()
             except Exception as e:  # fail-soft: never lose the headline

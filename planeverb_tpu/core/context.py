@@ -209,8 +209,11 @@ class Context:
             if tuple(sorted(mesh.axis_names)) != ("x", "y"):
                 raise ValueError(
                     f"mesh must have axes ('x', 'y'), got {mesh.axis_names}")
+            # multiple=8 keeps per-shard blocks sublane-aligned, which the
+            # beyond-VMEM banded round kernel needs for aligned DMA bands
+            # (padding is beta=0 solid, semantically inert)
             self._nx_pad, self._ny_pad = pad_to_mesh(
-                self.params.nx, self.params.ny, mesh)
+                self.params.nx, self.params.ny, mesh, multiple=8)
             bx = self._nx_pad // mesh.shape["x"]
             by = self._ny_pad // mesh.shape["y"]
             if halo is None:

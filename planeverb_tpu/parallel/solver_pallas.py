@@ -52,7 +52,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from planeverb_tpu.config import BoundaryType, GridParams
 from planeverb_tpu.ops.fdtd import (FdtdResult, admittance,
                                     stencil_coefficients)
-from planeverb_tpu.ops.fdtd_pallas import _moments_kernel
+from planeverb_tpu.ops.fdtd_pallas import (_VMEM_BUDGET_BYTES,
+                                           _moments_kernel)
+from planeverb_tpu.ops.fdtd_tiled import _tiled_moments_kernel
 from planeverb_tpu.parallel.solver import _exchange_halo
 
 __all__ = ["simulate_sharded_pallas", "simulate_moments_sharded",
@@ -179,11 +181,214 @@ def sharded_kernel_vmem_bytes(bx: int, by: int, halo: int,
     return ext * (11 + 3) + cell * 15 + 2 * chunk * cell
 
 
+def _banded_round_kernel(t0_ref, pulse_ref,
+                         beta_hbm, ax_hbm, bxc_hbm, dx_hbm,
+                         ay_hbm, byc_hbm, dy_hbm, src_hbm,
+                         p_hbm, vx_hbm, vy_hbm,
+                         onset_in, fx_in, fy_in, ed_in, ew_in, et_in,
+                         rec_hbm, p_out, vx_out, vy_out,
+                         onset_out, fx_out, fy_out,
+                         ed_out, ew_out, et_out,
+                         *, courant, thr, src_dir_n, t_real, dry_n, wet_n,
+                         k, bb, w):
+    """One k-step round for shards beyond VMEM: band-streamed HBM state.
+
+    Per-step math and moment windows are identical to :func:`_round_kernel`
+    (and therefore to the fused single-chip kernel); only the memory
+    movement differs. The ghost-extended block and accumulators live in HBM
+    (Mosaic DMA operands, never whole-block VMEM); each grid step processes
+    one ``bb``-row band of the interior, DMAing its window — the band rows
+    plus a k-row halo on each side — into VMEM, advancing all k steps of
+    the round locally (stencil radius 1/step, so the k-row band halo stays
+    exact for k steps — the same argument that justifies the shard-level
+    ppermute halo, parallel/solver.py, and the band streaming of
+    ops/fdtd_tiled.py), then writing back the band's rows of state,
+    accumulators, and k-step recording. Bands are independent within a
+    round: they all read round-start state and write disjoint rows.
+
+    Every array here spans the FULL lane-padded extended width ``w``
+    (a 128 multiple covering interior + y ghosts + alignment pad): Mosaic
+    requires DMA slices to be lane-aligned, so the lane dimension is never
+    sliced — callers pad the extended arrays to ``w`` columns (zero
+    coefficients there keep the pad exactly zero, preserving bit parity
+    with the fused round) and crop columns [k, k+by) afterwards. Row DMAs
+    stay aligned as long as ``bb`` is a multiple of 8 and ``2k`` is too
+    (halo a multiple of 4) — :func:`_pick_shard_band` and the default
+    halo=16 satisfy both.
+    """
+    tb = pl.program_id(0)
+    wrows = bb + 2 * k
+
+    def body(pw, vxw, vyw, bw, axw, bxw, dxw, ayw, byw, dyw, srcw,
+             onset_t, fx_t, fy_t, ed_t, ew_t, et_t, rec_t, sems):
+        row = tb * bb           # window start in the extended block
+        irow = tb * bb          # band start in the interior-row arrays
+
+        ext_pairs = ((beta_hbm, bw), (ax_hbm, axw), (bxc_hbm, bxw),
+                     (dx_hbm, dxw), (ay_hbm, ayw), (byc_hbm, byw),
+                     (dy_hbm, dyw), (src_hbm, srcw),
+                     (p_hbm, pw), (vx_hbm, vxw), (vy_hbm, vyw))
+        int_pairs = ((onset_in, onset_t), (fx_in, fx_t), (fy_in, fy_t),
+                     (ed_in, ed_t), (ew_in, ew_t), (et_in, et_t))
+        loads = [pltpu.make_async_copy(s.at[pl.ds(row, wrows)], d,
+                                       sems.at[i])
+                 for i, (s, d) in enumerate(ext_pairs)]
+        loads += [pltpu.make_async_copy(s.at[pl.ds(irow, bb)], d,
+                                        sems.at[len(ext_pairs) + i])
+                  for i, (s, d) in enumerate(int_pairs)]
+        for dma in loads:
+            dma.start()
+        for dma in loads:
+            dma.wait()
+
+        beta = bw[:]
+        a_x = axw[:]
+        b_x = bxw[:]
+        d_x = dxw[:]
+        a_y = ayw[:]
+        b_y = byw[:]
+        d_y = dyw[:]
+        src = srcw[:]
+        zrow = jnp.zeros((1, w), jnp.float32)
+        zcol = jnp.zeros((wrows, 1), jnp.float32)
+        t0 = t0_ref[0, 0]
+        band = slice(k, k + bb)
+
+        def one_step(s, carry):
+            p, vx, vy, onset, fx, fy, ed, ew, et = carry
+            t = t0 + s
+
+            vx_xp = jnp.concatenate([vx[1:], zrow], axis=0)
+            vy_yp = jnp.concatenate([vy[:, 1:], zcol], axis=1)
+            div = (vx_xp - vx) + (vy_yp - vy)
+            p = beta * (p - courant * div)
+
+            p_xm = jnp.concatenate([zrow, p[:-1]], axis=0)
+            air = vx - courant * (p - p_xm)
+            vx = a_x * air + b_x * p + d_x * p_xm
+
+            p_ym = jnp.concatenate([zcol, p[:, :-1]], axis=1)
+            air = vy - courant * (p - p_ym)
+            vy = a_y * air + b_y * p + d_y * p_ym
+
+            tf = t.astype(jnp.float32)
+            live = tf < float(t_real)
+            t_on = jnp.where(live, tf, jnp.inf)
+            c_flux = jnp.where(live, tf - src_dir_n, jnp.inf)
+            c_dry = jnp.where(live, tf - float(dry_n), jnp.inf)
+            c_wet_lo = jnp.where(live, tf - float(dry_n) - 1.0, -jnp.inf)
+            c_wet_hi = tf - float(dry_n) - 1.0 - float(wet_n)
+
+            p_b = p[band]
+            onset = jnp.minimum(
+                onset, jnp.where(jnp.abs(p_b) > thr, t_on, jnp.inf))
+            mp = jnp.where(onset > c_flux, p_b, 0.0)
+            fx = fx + mp * vx[band]
+            fy = fy + mp * vy[band]
+            sq = p_b * p_b
+            ed = jnp.where(onset > c_dry, ed + sq, ed)
+            ew = jnp.where((onset <= c_wet_lo) & (onset > c_wet_hi),
+                           ew + sq, ew)
+            et = jnp.where(live, et + sq, et)
+
+            rec_t[s] = p_b
+            p = p + src * pulse_ref[s, 0]
+            return p, vx, vy, onset, fx, fy, ed, ew, et
+
+        carry = (pw[:], vxw[:], vyw[:], onset_t[:], fx_t[:], fy_t[:],
+                 ed_t[:], ew_t[:], et_t[:])
+        p, vx, vy, onset, fx, fy, ed, ew, et = jax.lax.fori_loop(
+            0, k, one_step, carry)
+        pw[:] = p
+        vxw[:] = vx
+        vyw[:] = vy
+        onset_t[:] = onset
+        fx_t[:] = fx
+        fy_t[:] = fy
+        ed_t[:] = ed
+        ew_t[:] = ew
+        et_t[:] = et
+
+        band_rows = pl.ds(k, bb)
+        writes = [
+            pltpu.make_async_copy(
+                pw.at[band_rows], p_out.at[pl.ds(irow, bb)], sems.at[0]),
+            pltpu.make_async_copy(
+                vxw.at[band_rows], vx_out.at[pl.ds(irow, bb)], sems.at[1]),
+            pltpu.make_async_copy(
+                vyw.at[band_rows], vy_out.at[pl.ds(irow, bb)], sems.at[2]),
+            pltpu.make_async_copy(
+                onset_t, onset_out.at[pl.ds(irow, bb)], sems.at[3]),
+            pltpu.make_async_copy(
+                fx_t, fx_out.at[pl.ds(irow, bb)], sems.at[4]),
+            pltpu.make_async_copy(
+                fy_t, fy_out.at[pl.ds(irow, bb)], sems.at[5]),
+            pltpu.make_async_copy(
+                ed_t, ed_out.at[pl.ds(irow, bb)], sems.at[6]),
+            pltpu.make_async_copy(
+                ew_t, ew_out.at[pl.ds(irow, bb)], sems.at[7]),
+            pltpu.make_async_copy(
+                et_t, et_out.at[pl.ds(irow, bb)], sems.at[8]),
+            pltpu.make_async_copy(
+                rec_t, rec_hbm.at[pl.ds(0, k), pl.ds(irow, bb)],
+                sems.at[9]),
+        ]
+        for dma in writes:
+            dma.start()
+        for dma in writes:
+            dma.wait()
+
+    pl.run_scoped(
+        body,
+        pw=pltpu.VMEM((wrows, w), jnp.float32),
+        vxw=pltpu.VMEM((wrows, w), jnp.float32),
+        vyw=pltpu.VMEM((wrows, w), jnp.float32),
+        bw=pltpu.VMEM((wrows, w), jnp.float32),
+        axw=pltpu.VMEM((wrows, w), jnp.float32),
+        bxw=pltpu.VMEM((wrows, w), jnp.float32),
+        dxw=pltpu.VMEM((wrows, w), jnp.float32),
+        ayw=pltpu.VMEM((wrows, w), jnp.float32),
+        byw=pltpu.VMEM((wrows, w), jnp.float32),
+        dyw=pltpu.VMEM((wrows, w), jnp.float32),
+        srcw=pltpu.VMEM((wrows, w), jnp.float32),
+        onset_t=pltpu.VMEM((bb, w), jnp.float32),
+        fx_t=pltpu.VMEM((bb, w), jnp.float32),
+        fy_t=pltpu.VMEM((bb, w), jnp.float32),
+        ed_t=pltpu.VMEM((bb, w), jnp.float32),
+        ew_t=pltpu.VMEM((bb, w), jnp.float32),
+        et_t=pltpu.VMEM((bb, w), jnp.float32),
+        rec_t=pltpu.VMEM((k, bb, w), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((17,)),
+    )
+
+
+def _pick_shard_band(bx: int, bye: int, k: int,
+                     band_rows: int | None) -> int:
+    """Band height for the beyond-VMEM round kernel: a divisor of the shard
+    height ``bx`` (bands must tile the interior exactly), preferably a
+    multiple of 8 (sublane-aligned DMA offsets), sized so the ~30
+    window-height live arrays fit the VMEM budget."""
+    if band_rows is not None:
+        if bx % band_rows != 0:
+            raise ValueError(
+                f"band_rows {band_rows} must divide shard height {bx}")
+        return band_rows
+    budget = 6 << 20
+    per_row = (30 + k) * bye * 4
+    cap = max(1, budget // per_row - 2 * k)
+    if cap >= bx:
+        return bx
+    aligned = [d for d in range(1, cap + 1) if bx % d == 0 and d % 8 == 0]
+    if aligned:
+        return aligned[-1]
+    return max(d for d in range(1, cap + 1) if bx % d == 0)
+
+
 def _simulate_impl(params: GridParams, beta, refl, pulse,
                    listener_ix, listener_iy, mesh: Mesh,
                    nx_pad: int, ny_pad: int, halo: int,
                    chunk: int | None, interpret: bool,
-                   with_moments: bool):
+                   with_moments: bool, band_rows: int | None = None):
     gx, gy = params.grid_x, params.grid_y
     absorbing = params.boundary_type == BoundaryType.ABSORBING
     T = params.response_length
@@ -203,77 +408,144 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         raise ValueError(f"halo {k} exceeds shard block ({bx}, {by})")
     bxe, bye = bx + 2 * k, by + 2 * k
 
-    kernel = functools.partial(
-        _round_kernel,
-        courant=float(params.courant),
-        thr=float(params.constants.audible_threshold_gain),
-        src_dir_n=float(params.source_dir_samples),
-        t_real=T, dry_n=params.dry_gain_samples,
-        wet_n=params.wet_gain_samples,
-        chunk=chunk, n_chunks=n_chunks, k=k, bx=bx, by=by)
+    # per-shard VMEM routing, mirroring the single-device simulate_auto:
+    # fused VMEM-resident rounds when the shard fits, band-streamed rounds
+    # (HBM state, fdtd_tiled-style) beyond that — so a Context(mesh=...) can
+    # span grids whose shards exceed VMEM (the 100x-grid scaling target)
+    banded = (band_rows is not None
+              or sharded_kernel_vmem_bytes(bx, by, k, chunk)
+              > _VMEM_BUDGET_BYTES)
 
-    ext = pl.BlockSpec((bxe, bye), lambda c: (0, 0), memory_space=pltpu.VMEM)
-    cell = pl.BlockSpec((bx, by), lambda c: (0, 0), memory_space=pltpu.VMEM)
     cell_t = jax.ShapeDtypeStruct((bx, by), jnp.float32)
 
-    run_round = pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((k, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
-            ext, ext, ext, ext, ext, ext, ext, ext,   # beta, 6 coefs, src
-            ext, ext, ext,                            # p, vx, vy (extended)
-            cell, cell, cell, cell, cell, cell,       # onset,fx,fy,ed,ew,et
-        ],
-        out_specs=[
-            pl.BlockSpec((chunk, bx, by), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            cell, cell, cell,                         # p, vx, vy interior
-            cell, cell, cell, cell, cell, cell,       # onset,fx,fy,ed,ew,et
-        ],
-        out_shape=[
+    if banded:
+        # lane-pad the whole banded data path: Mosaic DMA slices must be
+        # lane-aligned, so every DMA'd array spans W columns (the 128
+        # multiple covering interior + 2k ghosts). Zero stencil
+        # coefficients keep the pad columns exactly zero — bit parity with
+        # the fused round is preserved — and local_sim crops columns
+        # [k, k+by) after the rounds.
+        W = -(-bye // 128) * 128
+        bb = _pick_shard_band(bx, W, k, band_rows)
+        wide_t = jax.ShapeDtypeStruct((bx, W), jnp.float32)
+        # pin DMA'd operands to HBM explicitly: under ANY, Mosaic may
+        # promote small buffers to VMEM, where dynamically-offset DMA
+        # slices hit further tiling restrictions
+        hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+        smem_t0 = pl.BlockSpec((1, 1), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM)
+        smem_pulse = pl.BlockSpec((k, 1), lambda b: (0, 0),
+                                  memory_space=pltpu.SMEM)
+        run_round = pl.pallas_call(
+            functools.partial(
+                _banded_round_kernel,
+                courant=float(params.courant),
+                thr=float(params.constants.audible_threshold_gain),
+                src_dir_n=float(params.source_dir_samples),
+                t_real=T, dry_n=params.dry_gain_samples,
+                wet_n=params.wet_gain_samples,
+                k=k, bb=bb, w=W),
+            grid=(bx // bb,),
+            in_specs=[smem_t0, smem_pulse] + [hbm] * 17,
+            out_specs=[hbm] * 10,
+            out_shape=[jax.ShapeDtypeStruct((k, bx, W), jnp.float32)]
+            + [wide_t] * 9,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )
+        run_moments_banded = pl.pallas_call(
+            functools.partial(
+                _tiled_moments_kernel, bx=bb, k=k, t_real=T,
+                dry_n=params.dry_gain_samples,
+                schro_off=params.schroeder_offset_samples,
+                n_rounds=rounds),
+            grid=(rounds, bx // bb),
+            in_specs=[hbm, hbm],
+            out_specs=[hbm] * 3,
+            out_shape=[wide_t, wide_t, wide_t],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )
+
+        def run_moments(onset, recs):
+            s0, s1, _edc = run_moments_banded(onset, recs)
+            return s0, s1
+    else:
+        round_out_shape = [
             jax.ShapeDtypeStruct((k, bx, by), jnp.float32),
             cell_t, cell_t, cell_t,
             cell_t, cell_t, cell_t, cell_t, cell_t, cell_t,
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bxe, bye), jnp.float32),
-            pltpu.VMEM((bxe, bye), jnp.float32),
-            pltpu.VMEM((bxe, bye), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=k * bxe * bye * 44,
-            bytes_accessed=k * bx * by * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )
+        ]
+        kernel = functools.partial(
+            _round_kernel,
+            courant=float(params.courant),
+            thr=float(params.constants.audible_threshold_gain),
+            src_dir_n=float(params.source_dir_samples),
+            t_real=T, dry_n=params.dry_gain_samples,
+            wet_n=params.wet_gain_samples,
+            chunk=chunk, n_chunks=n_chunks, k=k, bx=bx, by=by)
 
-    n_chunks_m = T_pad // chunk
-    run_moments = pl.pallas_call(
-        functools.partial(
-            _moments_kernel, chunk=chunk, t_real=T,
-            dry_n=params.dry_gain_samples,
-            schro_off=params.schroeder_offset_samples,
-            npx=bx, npy=by, n_chunks=n_chunks_m),
-        grid=(n_chunks_m,),
-        in_specs=[
-            cell,
-            pl.BlockSpec((chunk, bx, by),
-                         lambda c: (n_chunks_m - 1 - c, 0, 0),  # reverse time
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[cell, cell],
-        out_shape=[cell_t, cell_t],
-        scratch_shapes=[pltpu.VMEM((bx, by), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=T_pad * bx * by * 8,
-            bytes_accessed=T_pad * bx * by * 4,
-            transcendentals=T_pad * bx * by,
-        ),
-        interpret=interpret,
-    )
+        ext = pl.BlockSpec((bxe, bye), lambda c: (0, 0),
+                           memory_space=pltpu.VMEM)
+        cell = pl.BlockSpec((bx, by), lambda c: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+        run_round = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((k, 1), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                ext, ext, ext, ext, ext, ext, ext, ext,  # beta, 6 coefs, src
+                ext, ext, ext,                           # p, vx, vy (ext)
+                cell, cell, cell, cell, cell, cell,  # onset,fx,fy,ed,ew,et
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk, bx, by), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                cell, cell, cell,                        # p, vx, vy interior
+                cell, cell, cell, cell, cell, cell,  # onset,fx,fy,ed,ew,et
+            ],
+            out_shape=round_out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((bxe, bye), jnp.float32),
+                pltpu.VMEM((bxe, bye), jnp.float32),
+                pltpu.VMEM((bxe, bye), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=k * bxe * bye * 44,
+                bytes_accessed=k * bx * by * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )
+
+        n_chunks_m = T_pad // chunk
+        run_moments = pl.pallas_call(
+            functools.partial(
+                _moments_kernel, chunk=chunk, t_real=T,
+                dry_n=params.dry_gain_samples,
+                schro_off=params.schroeder_offset_samples,
+                npx=bx, npy=by, n_chunks=n_chunks_m),
+            grid=(n_chunks_m,),
+            in_specs=[
+                cell,
+                pl.BlockSpec((chunk, bx, by),
+                             lambda c: (n_chunks_m - 1 - c, 0, 0),  # reverse
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[cell, cell],
+            out_shape=[cell_t, cell_t],
+            scratch_shapes=[pltpu.VMEM((bx, by), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=T_pad * bx * by * 8,
+                bytes_accessed=T_pad * bx * by * 4,
+                transcendentals=T_pad * bx * by,
+            ),
+            interpret=interpret,
+        )
 
     def local_sim(beta, Y, pulse, lix, liy):
         px = jax.lax.axis_index("x")
@@ -298,8 +570,22 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             beta_e, y_e, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy, absorbing)
         src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
 
-        z_int = jnp.zeros((bx, by), jnp.float32)
-        onset0 = jnp.full((bx, by), jnp.inf, jnp.float32)
+        if banded:
+            # lane-pad everything the banded kernel DMAs to W columns;
+            # accumulators run in window-column space (interior = [k, k+by))
+            def widen(a):
+                return jnp.pad(a, ((0, 0), (0, W - bye)))
+
+            beta_e = widen(beta_e)
+            a_x, b_x, d_x = widen(a_x), widen(b_x), widen(d_x)
+            a_y, b_y, d_y = widen(a_y), widen(b_y), widen(d_y)
+            src_mask = widen(src_mask)
+            acc_w = W
+        else:
+            acc_w = by
+        z_state = jnp.zeros((bx, by), jnp.float32)
+        z_int = jnp.zeros((bx, acc_w), jnp.float32)
+        onset0 = jnp.full((bx, acc_w), jnp.inf, jnp.float32)
         t0s = (jnp.arange(rounds, dtype=jnp.int32) * k).reshape(rounds, 1, 1)
         pulse_pad = jnp.zeros(T_pad, jnp.float32).at[:T].set(pulse)
         pulse_rounds = pulse_pad.reshape(rounds, k, 1)
@@ -310,24 +596,32 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             p_e = _exchange_halo(p_i, k)
             vx_e = _exchange_halo(vx_i, k)
             vy_e = _exchange_halo(vy_i, k)
+            if banded:
+                p_e, vx_e, vy_e = widen(p_e), widen(vx_e), widen(vy_e)
             (rec, p2, vx2, vy2, onset2, fx2, fy2,
              ed2, ew2, et2) = run_round(
                 t0, pulse_k, beta_e, a_x, b_x, d_x, a_y, b_y, d_y,
                 src_mask, p_e, vx_e, vy_e, onset, fx, fy, ed, ew, et)
+            if banded:
+                p2 = p2[:, k:k + by]
+                vx2 = vx2[:, k:k + by]
+                vy2 = vy2[:, k:k + by]
             return (p2, vx2, vy2, onset2, fx2, fy2, ed2, ew2, et2), rec
 
-        carry0 = (z_int, z_int, z_int, onset0,
+        carry0 = (z_state, z_state, z_state, onset0,
                   z_int, z_int, z_int, z_int, z_int)
         (_, _, _, onset, fx, fy, ed, ew, et), recs = jax.lax.scan(
             one_round, carry0, (t0s, pulse_rounds))
-        recs = recs.reshape(T_pad, bx, by)
-        pressure = recs[:T]
+        recs = recs.reshape(T_pad, bx, acc_w)
+        col = slice(k, k + by) if banded else slice(None)
+        pressure = recs[:T, :, col]
         if not with_moments:
-            return pressure, onset, fx, fy
+            return pressure, onset[:, col], fx[:, col], fy[:, col]
         # backward RT60 regression pass, fully shard-local (the recording
         # never leaves the shard): suffix EDC + regression moments
         s0, s1 = run_moments(onset, recs)
-        return pressure, onset, fx, fy, ed, ew, et, s0, s1
+        return (pressure, onset[:, col], fx[:, col], fy[:, col],
+                ed[:, col], ew[:, col], et[:, col], s0[:, col], s1[:, col])
 
     grid2 = P("x", "y")
     n_out = 9 if with_moments else 4
@@ -344,12 +638,13 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
 
 @functools.partial(
     jax.jit, static_argnames=("params", "mesh", "nx_pad", "ny_pad", "halo",
-                              "chunk", "interpret"))
+                              "chunk", "interpret", "band_rows"))
 def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
                             listener_ix, listener_iy, mesh: Mesh,
                             nx_pad: int, ny_pad: int, halo: int = 16,
                             chunk: int | None = None,
-                            interpret: bool = False) -> FdtdResult:
+                            interpret: bool = False,
+                            band_rows: int | None = None) -> FdtdResult:
     """Run one simulation pass sharded over ``mesh`` at fused-kernel rates.
 
     Same contract as :func:`planeverb_tpu.parallel.simulate_sharded`
@@ -357,21 +652,30 @@ def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
     crop to params.nx/ny for analysis). ``halo`` is the exchange period k;
     ``chunk`` (divides halo, default min(halo, 16)) is the recording
     writeback granularity inside each round's kernel.
+
+    Shards whose round kernel would exceed the VMEM budget are routed
+    automatically to the band-streamed round kernel (HBM state,
+    :func:`_banded_round_kernel`) — the multi-chip engine spans grids of
+    any size, like the single-device ``simulate_auto``. ``band_rows``
+    forces that path with an explicit band height (must divide the shard
+    height; used by tests and tuning).
     """
     pressure, onset, fx, fy = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
-        nx_pad, ny_pad, halo, chunk, interpret, with_moments=False)
+        nx_pad, ny_pad, halo, chunk, interpret, with_moments=False,
+        band_rows=band_rows)
     return FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
 
 
 @functools.partial(
     jax.jit, static_argnames=("params", "mesh", "nx_pad", "ny_pad", "halo",
-                              "chunk", "interpret"))
+                              "chunk", "interpret", "band_rows"))
 def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
                              listener_ix, listener_iy, mesh: Mesh,
                              nx_pad: int, ny_pad: int, halo: int = 16,
                              chunk: int | None = None,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             band_rows: int | None = None):
     """Sharded sim + in-kernel analyzer moments (multi-chip analog of
     ops/fdtd_pallas.py::simulate_moments_pallas).
 
@@ -384,7 +688,8 @@ def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
 
     pressure, onset, fx, fy, ed, ew, et, s0, s1 = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
-        nx_pad, ny_pad, halo, chunk, interpret, with_moments=True)
+        nx_pad, ny_pad, halo, chunk, interpret, with_moments=True,
+        band_rows=band_rows)
     res = FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
     return res, Moments(e_dry=ed, e_wet=ew, e_total=et, s0=s0, s1=s1)
 
@@ -394,7 +699,8 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
                      nx_pad: int, ny_pad: int, efree,
                      listener_x, listener_z, halo: int = 16,
                      chunk: int | None = None, interpret: bool = False,
-                     compute_directions: bool = True):
+                     compute_directions: bool = True,
+                     band_rows: int | None = None):
     """Full multi-chip pass: sharded sim + in-kernel moments + parameter
     assembly. Returns (FdtdResult, AnalyzerResults) — the multi-chip analog
     of ops/fdtd_pallas.py::pipeline_auto; results are cropped to the
@@ -403,7 +709,8 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
 
     res, moments = simulate_moments_sharded(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
-        nx_pad, ny_pad, halo=halo, chunk=chunk, interpret=interpret)
+        nx_pad, ny_pad, halo=halo, chunk=chunk, interpret=interpret,
+        band_rows=band_rows)
     nx, ny = params.nx, params.ny
     crop = analyzer.Moments(
         e_dry=moments.e_dry[:nx, :ny], e_wet=moments.e_wet[:nx, :ny],

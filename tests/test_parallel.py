@@ -275,6 +275,67 @@ def test_sharded_pallas_matches_single_chip(shape, halo, chunk):
         atol=1e-6)
 
 
+@pytest.mark.parametrize("shape,halo,band", [
+    ((2, 4), 8, 8),      # 2D mesh, multi-band shards
+    ((8, 1), 4, 8),      # 1D x-sharding
+])
+def test_sharded_banded_matches_fused_rounds(shape, halo, band):
+    """The beyond-VMEM band-streamed round kernel (HBM state, lane-padded
+    width) must be BIT-identical to the fused VMEM-resident rounds: the pad
+    columns carry zero stencil coefficients so they stay exactly zero, and
+    interior cells see the same value stream (solver_pallas.py::
+    _banded_round_kernel). Moments (windowed energies + RT60 regression via
+    the band-streamed backward pass) must agree too."""
+    from planeverb_tpu.parallel.solver_pallas import (
+        simulate_moments_sharded, simulate_sharded_pallas)
+
+    p, beta, refl, pulse, lix, liy = _setup(demo_scene("SmallRoom"))
+    n = shape[0] * shape[1]
+    mesh = grid_mesh(jax.devices()[:n], shape)
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh, multiple=8)
+    args = (p, _pad(beta, nx_pad, ny_pad), _pad(refl, nx_pad, ny_pad),
+            pulse, jnp.int32(lix), jnp.int32(liy), mesh, nx_pad, ny_pad)
+
+    fused = simulate_sharded_pallas(*args, halo=halo, interpret=True)
+    banded = simulate_sharded_pallas(*args, halo=halo, interpret=True,
+                                     band_rows=band)
+    np.testing.assert_array_equal(np.asarray(banded.pressure),
+                                  np.asarray(fused.pressure))
+    np.testing.assert_array_equal(np.asarray(banded.onset),
+                                  np.asarray(fused.onset))
+    np.testing.assert_array_equal(np.asarray(banded.flux_x),
+                                  np.asarray(fused.flux_x))
+    np.testing.assert_array_equal(np.asarray(banded.flux_y),
+                                  np.asarray(fused.flux_y))
+
+    _, mf = simulate_moments_sharded(*args, halo=halo, interpret=True)
+    _, mb = simulate_moments_sharded(*args, halo=halo, interpret=True,
+                                     band_rows=band)
+    for name in ("e_dry", "e_wet", "e_total", "s0", "s1"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(mb, name)), np.asarray(getattr(mf, name)),
+            atol=1e-5, rtol=1e-6, err_msg=name)
+
+
+def test_shard_band_pick_and_vmem_routing():
+    """Band heights must divide the shard and prefer sublane alignment;
+    oversized shards auto-route to the banded kernel (the VMEM guard that
+    lets Context(mesh=...) span grids whose shards exceed VMEM)."""
+    from planeverb_tpu.ops.fdtd_pallas import _VMEM_BUDGET_BYTES
+    from planeverb_tpu.parallel.solver_pallas import (
+        _pick_shard_band, sharded_kernel_vmem_bytes)
+
+    assert _pick_shard_band(64, 256, 16, 8) == 8        # explicit
+    with pytest.raises(ValueError, match="divide"):
+        _pick_shard_band(64, 256, 16, 24)               # 24 does not divide
+    bb = _pick_shard_band(464, 512, 16, None)           # auto: 8-aligned
+    assert 464 % bb == 0 and bb % 8 == 0
+    assert _pick_shard_band(16, 512, 16, None) == 16    # small shard: 1 band
+    # the headline 192x192 shard fits VMEM; a 459x459 shard does not
+    assert sharded_kernel_vmem_bytes(192, 192, 16, 16) <= _VMEM_BUDGET_BYTES
+    assert sharded_kernel_vmem_bytes(464, 464, 16, 16) > _VMEM_BUDGET_BYTES
+
+
 def test_sharded_pallas_rejects_bad_args():
     from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
 
