@@ -360,8 +360,10 @@ def main() -> None:
             return r.pressure[T - 1, 5, 5]
 
         float(np.asarray(one(0.0)))
-        t = time_chained(one, reps=3)
+        s = time_chained_stats(one, reps=5)
+        t = s["median_s"]
         return {"mesh": "1x1", "halo": 16, "wall_ms": round(t * 1e3, 2),
+                "wall_ms_spread": spread_ms(s),
                 "gcups": round(cell_updates / t / 1e9, 2)}
 
     if platform == "tpu":

@@ -362,26 +362,38 @@ def _banded_round_kernel(t0_ref, pulse_ref,
     )
 
 
-def _pick_shard_band(bx: int, bye: int, k: int,
+def _pick_shard_band(bx: int, w: int, k: int,
                      band_rows: int | None) -> int:
-    """Band height for the beyond-VMEM round kernel: a divisor of the shard
-    height ``bx`` (bands must tile the interior exactly), preferably a
-    multiple of 8 (sublane-aligned DMA offsets), sized so the ~30
-    window-height live arrays fit the VMEM budget."""
+    """Band height for the beyond-VMEM round kernel.
+
+    The interior is row-padded to a band multiple (pad rows carry zero
+    coefficients, appended after the ghosts, so they are inert and
+    cropped), which frees the choice: any multiple of 8 (sublane-aligned
+    DMA offsets) works, so pick the largest whose kernel VMEM footprint —
+    ~26 window-height live arrays (11 DMA windows + 9 fori carries +
+    temporaries) plus the accumulator tiles and the k-step recording slab —
+    fits the budget.
+
+    The budget is deliberately conservative (4 MB, not the 10+ MB that
+    fits): Mosaic compile time explodes with window height — measured on a
+    459x459 shard at W=512/k=16, a 48-row window (bb=16) compiles in
+    seconds at 9.4 G cell-updates/s while 96-row (bb=32) and 104-row
+    (bb=72) windows take 12-14 MINUTES for only 10.5/11.0 G. Callers that
+    amortize one compile over a long deployment can pass ``band_rows``
+    explicitly to buy that last ~15 %."""
     if band_rows is not None:
-        if bx % band_rows != 0:
-            raise ValueError(
-                f"band_rows {band_rows} must divide shard height {bx}")
+        if band_rows <= 0:
+            raise ValueError(f"band_rows {band_rows} must be positive")
         return band_rows
-    budget = 6 << 20
-    per_row = (30 + k) * bye * 4
-    cap = max(1, budget // per_row - 2 * k)
-    if cap >= bx:
-        return bx
-    aligned = [d for d in range(1, cap + 1) if bx % d == 0 and d % 8 == 0]
-    if aligned:
-        return aligned[-1]
-    return max(d for d in range(1, cap + 1) if bx % d == 0)
+    budget = 4 << 20
+
+    def footprint(bb):
+        return ((bb + 2 * k) * 26 + bb * 14 + k * bb) * w * 4
+
+    bb = 8
+    while bb < bx and footprint(bb + 8) <= budget:
+        bb += 8
+    return min(bb, max(8, -(-bx // 8) * 8))
 
 
 def _simulate_impl(params: GridParams, beta, refl, pulse,
@@ -427,7 +439,13 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         # [k, k+by) after the rounds.
         W = -(-bye // 128) * 128
         bb = _pick_shard_band(bx, W, k, band_rows)
-        wide_t = jax.ShapeDtypeStruct((bx, W), jnp.float32)
+        # row-pad the interior to a band multiple (pad rows are appended
+        # AFTER the bottom ghosts so the real ghosts stay stencil-adjacent
+        # to the interior; zero coefficients keep them inert, and
+        # local_sim crops rows [0, bx) afterwards) — frees the band height
+        # from divisibility so big bands can amortize halo-row compute
+        bxp = -(-bx // bb) * bb
+        wide_t = jax.ShapeDtypeStruct((bxp, W), jnp.float32)
         # pin DMA'd operands to HBM explicitly: under ANY, Mosaic may
         # promote small buffers to VMEM, where dynamically-offset DMA
         # slices hit further tiling restrictions
@@ -445,10 +463,10 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                 t_real=T, dry_n=params.dry_gain_samples,
                 wet_n=params.wet_gain_samples,
                 k=k, bb=bb, w=W),
-            grid=(bx // bb,),
+            grid=(bxp // bb,),
             in_specs=[smem_t0, smem_pulse] + [hbm] * 17,
             out_specs=[hbm] * 10,
-            out_shape=[jax.ShapeDtypeStruct((k, bx, W), jnp.float32)]
+            out_shape=[jax.ShapeDtypeStruct((k, bxp, W), jnp.float32)]
             + [wide_t] * 9,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
@@ -459,7 +477,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                 dry_n=params.dry_gain_samples,
                 schro_off=params.schroeder_offset_samples,
                 n_rounds=rounds),
-            grid=(rounds, bx // bb),
+            grid=(rounds, bxp // bb),
             in_specs=[hbm, hbm],
             out_specs=[hbm] * 3,
             out_shape=[wide_t, wide_t, wide_t],
@@ -571,21 +589,24 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
 
         if banded:
-            # lane-pad everything the banded kernel DMAs to W columns;
-            # accumulators run in window-column space (interior = [k, k+by))
+            # lane-pad everything the banded kernel DMAs to W columns and
+            # row-pad the extended block to bxp + 2k rows (the pad rows go
+            # AFTER the bottom ghosts, so ghosts stay stencil-adjacent to
+            # the interior); accumulators run in window-column space
+            # (interior = rows [0, bx), columns [k, k+by))
             def widen(a):
-                return jnp.pad(a, ((0, 0), (0, W - bye)))
+                return jnp.pad(a, ((0, bxp - bx), (0, W - bye)))
 
             beta_e = widen(beta_e)
             a_x, b_x, d_x = widen(a_x), widen(b_x), widen(d_x)
             a_y, b_y, d_y = widen(a_y), widen(b_y), widen(d_y)
             src_mask = widen(src_mask)
-            acc_w = W
+            acc_rows, acc_w = bxp, W
         else:
-            acc_w = by
+            acc_rows, acc_w = bx, by
         z_state = jnp.zeros((bx, by), jnp.float32)
-        z_int = jnp.zeros((bx, acc_w), jnp.float32)
-        onset0 = jnp.full((bx, acc_w), jnp.inf, jnp.float32)
+        z_int = jnp.zeros((acc_rows, acc_w), jnp.float32)
+        onset0 = jnp.full((acc_rows, acc_w), jnp.inf, jnp.float32)
         t0s = (jnp.arange(rounds, dtype=jnp.int32) * k).reshape(rounds, 1, 1)
         pulse_pad = jnp.zeros(T_pad, jnp.float32).at[:T].set(pulse)
         pulse_rounds = pulse_pad.reshape(rounds, k, 1)
@@ -603,25 +624,29 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                 t0, pulse_k, beta_e, a_x, b_x, d_x, a_y, b_y, d_y,
                 src_mask, p_e, vx_e, vy_e, onset, fx, fy, ed, ew, et)
             if banded:
-                p2 = p2[:, k:k + by]
-                vx2 = vx2[:, k:k + by]
-                vy2 = vy2[:, k:k + by]
+                p2 = p2[:bx, k:k + by]
+                vx2 = vx2[:bx, k:k + by]
+                vy2 = vy2[:bx, k:k + by]
             return (p2, vx2, vy2, onset2, fx2, fy2, ed2, ew2, et2), rec
 
         carry0 = (z_state, z_state, z_state, onset0,
                   z_int, z_int, z_int, z_int, z_int)
         (_, _, _, onset, fx, fy, ed, ew, et), recs = jax.lax.scan(
             one_round, carry0, (t0s, pulse_rounds))
-        recs = recs.reshape(T_pad, bx, acc_w)
-        col = slice(k, k + by) if banded else slice(None)
-        pressure = recs[:T, :, col]
+        recs = recs.reshape(T_pad, acc_rows, acc_w)
+        if banded:
+            rows, col = slice(None, bx), slice(k, k + by)
+        else:
+            rows = col = slice(None)
+        pressure = recs[:T, rows, col]
         if not with_moments:
-            return pressure, onset[:, col], fx[:, col], fy[:, col]
+            return pressure, onset[rows, col], fx[rows, col], fy[rows, col]
         # backward RT60 regression pass, fully shard-local (the recording
         # never leaves the shard): suffix EDC + regression moments
         s0, s1 = run_moments(onset, recs)
-        return (pressure, onset[:, col], fx[:, col], fy[:, col],
-                ed[:, col], ew[:, col], et[:, col], s0[:, col], s1[:, col])
+        return (pressure, onset[rows, col], fx[rows, col], fy[rows, col],
+                ed[rows, col], ew[rows, col], et[rows, col],
+                s0[rows, col], s1[rows, col])
 
     grid2 = P("x", "y")
     n_out = 9 if with_moments else 4

@@ -318,18 +318,20 @@ def test_sharded_banded_matches_fused_rounds(shape, halo, band):
 
 
 def test_shard_band_pick_and_vmem_routing():
-    """Band heights must divide the shard and prefer sublane alignment;
-    oversized shards auto-route to the banded kernel (the VMEM guard that
-    lets Context(mesh=...) span grids whose shards exceed VMEM)."""
+    """Auto band heights are sublane-aligned and VMEM-bounded (the interior
+    is row-padded to a band multiple, so divisibility is free); oversized
+    shards auto-route to the banded kernel — the guard that lets
+    Context(mesh=...) span grids whose shards exceed VMEM."""
     from planeverb_tpu.ops.fdtd_pallas import _VMEM_BUDGET_BYTES
     from planeverb_tpu.parallel.solver_pallas import (
         _pick_shard_band, sharded_kernel_vmem_bytes)
 
     assert _pick_shard_band(64, 256, 16, 8) == 8        # explicit
-    with pytest.raises(ValueError, match="divide"):
-        _pick_shard_band(64, 256, 16, 24)               # 24 does not divide
-    bb = _pick_shard_band(464, 512, 16, None)           # auto: 8-aligned
-    assert 464 % bb == 0 and bb % 8 == 0
+    with pytest.raises(ValueError, match="positive"):
+        _pick_shard_band(64, 256, 16, 0)
+    bb = _pick_shard_band(464, 512, 16, None)           # auto: 8-aligned,
+    assert bb % 8 == 0 and bb >= 8                      # VMEM-bounded, and
+    assert ((bb + 32) * 26 + 30 * bb) * 512 * 4 <= 4 << 20  # compile-small
     assert _pick_shard_band(16, 512, 16, None) == 16    # small shard: 1 band
     # the headline 192x192 shard fits VMEM; a 459x459 shard does not
     assert sharded_kernel_vmem_bytes(192, 192, 16, 16) <= _VMEM_BUDGET_BYTES
