@@ -436,7 +436,12 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         # multiple covering interior + 2k ghosts). Zero stencil
         # coefficients keep the pad columns exactly zero — bit parity with
         # the fused round is preserved — and local_sim crops columns
-        # [k, k+by) after the rounds.
+        # [k, k+by) after the rounds. Known trade-off: the 8
+        # round-invariant operands (beta, 6 coefficients, src) re-stream
+        # per band per round instead of refolding in-window like
+        # fdtd_tiled — ~1.5 B/cell/step of extra HBM reads at k=16 (~2 %
+        # of the measured pass) in exchange for keeping the fold
+        # single-sourced at the XLA level.
         W = -(-bye // 128) * 128
         bb = _pick_shard_band(bx, W, k, band_rows)
         # row-pad the interior to a band multiple (pad rows are appended
@@ -445,6 +450,13 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         # local_sim crops rows [0, bx) afterwards) — frees the band height
         # from divisibility so big bands can amortize halo-row compute
         bxp = -(-bx // bb) * bb
+        if not interpret and (bb % 8 != 0 or (2 * k) % 8 != 0):
+            # Mosaic DMA row slices (offsets tb*bb, sizes bb and bb+2k)
+            # must be sublane-aligned; fail clearly at the API boundary
+            # rather than deep inside kernel compilation
+            raise ValueError(
+                f"banded rounds on TPU need band_rows % 8 == 0 and "
+                f"halo % 4 == 0 (got band_rows={bb}, halo={k})")
         wide_t = jax.ShapeDtypeStruct((bxp, W), jnp.float32)
         # pin DMA'd operands to HBM explicitly: under ANY, Mosaic may
         # promote small buffers to VMEM, where dynamically-offset DMA
@@ -682,8 +694,11 @@ def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
     automatically to the band-streamed round kernel (HBM state,
     :func:`_banded_round_kernel`) — the multi-chip engine spans grids of
     any size, like the single-device ``simulate_auto``. ``band_rows``
-    forces that path with an explicit band height (must divide the shard
-    height; used by tests and tuning).
+    forces that path with an explicit band height (any positive value —
+    the interior is row-padded to a band multiple — but on TPU it must be
+    a multiple of 8 and ``halo`` a multiple of 4, for sublane-aligned DMA;
+    bigger bands trade minutes of Mosaic compile time for ~15 % throughput,
+    see :func:`_pick_shard_band`).
     """
     pressure, onset, fx, fy = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,

@@ -355,6 +355,14 @@ def test_sharded_pallas_rejects_bad_args():
                                 jnp.int32(lix), jnp.int32(liy), mesh,
                                 nx_pad, ny_pad, halo=8, chunk=3,
                                 interpret=True)
+    # compiled (non-interpret) banded rounds need sublane-aligned bands;
+    # the check fires at the API boundary, before any Mosaic involvement
+    with pytest.raises(ValueError, match="band_rows % 8"):
+        simulate_sharded_pallas(p, _pad(beta, nx_pad, ny_pad),
+                                _pad(refl, nx_pad, ny_pad), pulse,
+                                jnp.int32(lix), jnp.int32(liy), mesh,
+                                nx_pad, ny_pad, halo=8, interpret=False,
+                                band_rows=3)
 
 
 def test_multihost_two_processes_end_to_end():
