@@ -139,6 +139,34 @@ def _pipeline_cells_sharded(params, beta, refl, pulse, cix, ciy, efree,
     return pressure, packed, rows
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "compute_directions",
+                                    "state_dtype"))
+def _pipeline_packed_multi(params, beta, refl, pulse, cells, efree, lpos,
+                           compute_directions: bool = True,
+                           state_dtype=jnp.float32):
+    """B-listener batch of :func:`_pipeline_packed` -> [B, gx, gy, 9].
+
+    Split-screen / multiplayer on the engine's product surface (the
+    ops/batch.py listeners axis, SURVEY.md §2 DP row; the reference is
+    strictly one listener per context, PvContext.cpp:63-94): a sequential
+    ``lax.map`` over the fused pipeline — Pallas kernels don't vmap, and
+    the map reuses one compiled kernel — packing all B parameter grids
+    into ONE fetched array. The per-listener [T, nx, ny] recordings are
+    dropped per iteration (B of them would multiply the recording memory;
+    ``get_impulse_response`` stays single-listener).
+    """
+    def one(args):
+        cix, ciy, lx, lz = args
+        _, out = pipeline_auto(params, beta, refl, pulse, cix, ciy, efree,
+                               lx, lz, compute_directions=compute_directions,
+                               state_dtype=state_dtype)
+        return _pack(out)
+
+    return jax.lax.map(one, (cells[:, 0], cells[:, 1],
+                             lpos[:, 0], lpos[:, 1]))
+
+
 def _output_from_row(row) -> PlaneverbOutput:
     """One packed [9] row -> PlaneverbOutput (layout per _pipeline_packed)."""
     return PlaneverbOutput(
@@ -244,6 +272,7 @@ class Context:
 
         self._pulse = jnp.asarray(gaussian_pulse(self.params))
         self._listener = (0.0, 0.0, 0.0)
+        self._listeners_multi: list | None = None
         self._listener_lock = threading.Lock()
 
         # calibration (FreeGrid analog) — one empty-grid sim at init
@@ -279,10 +308,48 @@ class Context:
     def set_listener_position(self, x: float, y: float, z: float) -> None:
         with self._listener_lock:
             self._listener = (x, y, z)
+            self._listeners_multi = None
 
     def get_listener_position(self):
         with self._listener_lock:
             return self._listener
+
+    def set_listener_positions(self, positions) -> None:
+        """B listeners at once — split-screen / multiplayer.
+
+        ``step()`` then batches one simulation per listener (the
+        ops/batch.py data-parallel axis surfaced on the engine runtime;
+        the reference runs exactly one listener per context,
+        PvContext.cpp:63-94) and publishes [B, ...] parameter grids in
+        one fetch; query per view with ``result_at(x, z, listener=i)`` /
+        ``get_output(eid, listener=i)``. Requires publish='grids' and a
+        single-device context; a 1-element list (or
+        ``set_listener_position``) returns to the single-listener path.
+        """
+        positions = [tuple(float(v) for v in p) for p in positions]
+        if not positions:
+            raise ValueError("need at least one listener position")
+        if any(len(p) != 3 for p in positions):
+            raise ValueError("listener positions are (x, y, z) triples")
+        if len(positions) > 1:
+            if self._publish_cells:
+                raise ValueError(
+                    "multi-listener mode needs publish='grids' (the cells "
+                    "publish is keyed per emitter cell, not per view)")
+            if self.mesh is not None:
+                raise ValueError(
+                    "multi-listener mode is single-device; compose the "
+                    "batch axis with a mesh via ops/batch instead")
+        with self._listener_lock:
+            self._listener = positions[0]
+            self._listeners_multi = (positions if len(positions) > 1
+                                     else None)
+
+    def get_listener_positions(self) -> list:
+        with self._listener_lock:
+            if self._listeners_multi is not None:
+                return list(self._listeners_multi)
+            return [self._listener]
 
     # ------------------------------------------------------------ lifecycle
     def start(self) -> None:
@@ -356,8 +423,13 @@ class Context:
             self._step_locked()
 
     def _step_locked(self) -> None:
-        lx, ly, lz = self.get_listener_position()
+        with self._listener_lock:
+            lx, ly, lz = self._listener
+            multi = self._listeners_multi
         self._sync_fields()
+        if multi is not None:
+            self._step_multi(multi)
+            return
 
         cix, ciy = self.params.world_to_cell(lx, lz)
         if self._publish_cells:
@@ -394,6 +466,37 @@ class Context:
                 "pressure": pressure,          # device [T, nx, ny]
             }
         self._published = published            # single atomic assignment
+        with self._iter_cond:
+            self._iteration += 1
+            self._iter_cond.notify_all()
+
+    def _step_multi(self, listeners) -> None:
+        """Multi-listener iteration: B sims, one packed [B, gx, gy, 9]
+        publish (see :func:`_pipeline_packed_multi`)."""
+        p = self.params
+        cells = np.array([list(p.world_to_cell(lx, lz))
+                          for lx, _, lz in listeners], np.int32)
+        lpos = np.array([[lx, lz] for lx, _, lz in listeners], np.float32)
+        with self.timer.stage("simulate+analyze"):
+            packed = _pipeline_packed_multi(
+                p, self._beta, self._refl, self._pulse, jnp.asarray(cells),
+                np.float32(self.efree), jnp.asarray(lpos),
+                compute_directions=not self._lazy_doa,
+                state_dtype=self._state_dtype)
+        with self.timer.stage("publish"):
+            grids = np.asarray(packed)         # ONE [B, gx, gy, 9] fetch
+            published = {
+                "occlusion": grids[..., 0],
+                "wet_gain": grids[..., 1],
+                "rt60": grids[..., 2],
+                "lowpass": grids[..., 3],
+                "direction": grids[..., 4:6],
+                "source_directivity": grids[..., 6:8],
+                "delay_samples": grids[..., 8],
+                "listener": (listeners[0][0], listeners[0][2]),
+                "listeners": [(lx, lz) for lx, _, lz in listeners],
+            }
+        self._published = published
         with self._iter_cond:
             self._iteration += 1
             self._iter_cond.notify_all()
@@ -450,9 +553,16 @@ class Context:
                 lambda: self._iteration >= n, timeout=timeout)
 
     # -------------------------------------------------------------- queries
-    def result_at(self, x: float, z: float) -> PlaneverbOutput:
+    def result_at(self, x: float, z: float,
+                  listener: int = 0) -> PlaneverbOutput:
         """World position -> acoustic output (GetResponseResult analog,
-        Analyzer.cpp:106-116 + FDTD.cpp:16-58)."""
+        Analyzer.cpp:106-116 + FDTD.cpp:16-58).
+
+        ``listener`` selects the view in multi-listener mode
+        (:meth:`set_listener_positions`); out-of-range indices return the
+        invalid sentinel, and single-listener snapshots only answer
+        ``listener=0``.
+        """
         results = self._published              # one consistent snapshot
         if results is None:
             return invalid_output()
@@ -460,6 +570,21 @@ class Context:
         cx, cy = p.world_to_cell(x, z)
         if not (0 <= cx < p.grid_x and 0 <= cy < p.grid_y):
             return invalid_output()
+        views = results.get("listeners")
+        if views is not None:
+            if not (0 <= listener < len(views)):
+                return invalid_output()
+            llx, llz = views[listener]
+
+            def sel(key):
+                return results[key][listener]
+        else:
+            if listener != 0:
+                return invalid_output()
+            llx, llz = results["listener"]
+
+            def sel(key):
+                return results[key]
         if "cells" in results:
             row = results["cells"].get((cx, cy))
             if row is None:
@@ -474,28 +599,28 @@ class Context:
         if self._lazy_doa:
             from planeverb_tpu.ops.doa import walk_direction
 
-            llx, llz = results["listener"]
             d = walk_direction(
-                self.params, results["occlusion"], results["delay_samples"],
+                self.params, sel("occlusion"), sel("delay_samples"),
                 cx, cy, llx + self.params.grid_offset_x,
                 llz + self.params.grid_offset_y)
         else:
-            d = results["direction"][cx, cy]
-        s = results["source_directivity"][cx, cy]
+            d = sel("direction")[cx, cy]
+        s = sel("source_directivity")[cx, cy]
         return PlaneverbOutput(
-            occlusion=float(results["occlusion"][cx, cy]),
-            wet_gain=float(results["wet_gain"][cx, cy]),
-            rt60=float(results["rt60"][cx, cy]),
-            lowpass=float(results["lowpass"][cx, cy]),
+            occlusion=float(sel("occlusion")[cx, cy]),
+            wet_gain=float(sel("wet_gain")[cx, cy]),
+            rt60=float(sel("rt60")[cx, cy]),
+            lowpass=float(sel("lowpass")[cx, cy]),
             direction=vec2(float(d[0]), float(d[1])),
             source_directivity=vec2(float(s[0]), float(s[1])),
         )
 
-    def get_output(self, emission_id: int) -> PlaneverbOutput:
+    def get_output(self, emission_id: int,
+                   listener: int = 0) -> PlaneverbOutput:
         pos = self.emissions.get(emission_id)
         if pos is None:
             return invalid_output()
-        return self.result_at(pos[0], pos[2])
+        return self.result_at(pos[0], pos[2], listener=listener)
 
     def sync_dsp(self, dsp) -> dict[int, tuple[PlaneverbOutput, float]]:
         """Push every live emission's state into a DSP context and return
@@ -537,6 +662,11 @@ class Context:
         published = self._published
         if published is None:
             return np.zeros(self.params.response_length, np.float32)
+        if published.get("pressure") is None:
+            # multi-listener snapshots drop the recordings (B of them
+            # would multiply recording memory); IR debugging is a
+            # single-listener workflow
+            return np.zeros(0, np.float32)
         p = self.params
         cx, cy = p.world_to_cell(x, z)
         if not (0 <= cx < p.nx and 0 <= cy < p.ny):

@@ -187,7 +187,8 @@ class EngineServer:
         return [float(v) for v in vals], valid
 
     def _get_output(self, req):
-        vals, valid = self._output_vals(self._ctx.get_output(int(req["id"])))
+        vals, valid = self._output_vals(self._ctx.get_output(
+            int(req["id"]), listener=int(req.get("listener", 0))))
         return {"ok": True, "valid": valid,
                 "occlusion": vals[0], "wet_gain": vals[1],
                 "rt60": vals[2], "lowpass": vals[3],
@@ -209,9 +210,11 @@ class EngineServer:
         if ids is None:
             ids = sorted(self._ctx.emissions.snapshot_emissions())
         ids = [int(i) for i in ids]
+        listener = int(req.get("listener", 0))
         rows: list[float] = []
         for eid in ids:
-            vals, valid = self._output_vals(self._ctx.get_output(eid))
+            vals, valid = self._output_vals(
+                self._ctx.get_output(eid, listener=listener))
             rows.extend(vals + [1.0 if valid else 0.0])
         return {"ok": True, "count": len(ids), "ids": ids, "rows": rows}
 
@@ -241,6 +244,20 @@ class EngineServer:
                                         float(req.get("y", 0)),
                                         float(req["z"]))
         return {"ok": True}
+
+    def _set_listener_positions(self, req):
+        """Multi-listener (split-screen) mode: {"positions": [[x,y,z],...]}.
+
+        Subsequent get_output/get_outputs accept "listener": i to select
+        the view. Requires the grids publish mode
+        (Context.set_listener_positions docs).
+        """
+        try:
+            self._ctx.set_listener_positions(
+                [tuple(float(v) for v in p) for p in req["positions"]])
+        except (ValueError, TypeError) as e:
+            return {"ok": False, "error": str(e)}
+        return {"ok": True, "count": len(req["positions"])}
 
     def _step(self, req):
         # Manual stepping and the background loop are mutually exclusive:
@@ -282,6 +299,7 @@ _HANDLERS = {
     "update_geometry": EngineServer._update_geometry,
     "remove_geometry": EngineServer._remove_geometry,
     "set_listener_position": EngineServer._set_listener_position,
+    "set_listener_positions": EngineServer._set_listener_positions,
     "step": EngineServer._step,
     "wait_iteration": EngineServer._wait_iteration,
     "get_impulse_response": EngineServer._get_impulse_response,

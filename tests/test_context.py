@@ -394,3 +394,68 @@ def test_precision_option():
     with pytest.raises(ValueError, match="single-device"):
         pv.Context(CFG, precision="bf16",
                    mesh=grid_mesh(jax.devices(), (2, 4)))
+
+
+def test_multi_listener_mode():
+    """Split-screen engine mode: B listeners batch in one step and each
+    view's published grids match a single-listener Context at that
+    position (core/context.py::_pipeline_packed_multi)."""
+    positions = [(3.0, 0.0, 3.0), (7.0, 0.0, 6.0)]
+    multi = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    multi.set_listener_positions(positions)
+    assert multi.get_listener_positions() == positions
+    multi.step()
+
+    for i, (lx, ly, lz) in enumerate(positions):
+        solo = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+        solo.set_listener_position(lx, ly, lz)
+        solo.step()
+        a = multi.result_at(6.0, 5.0, listener=i)
+        b = solo.result_at(6.0, 5.0)
+        assert a.valid and b.valid
+        assert a.occlusion == pytest.approx(b.occlusion, rel=1e-6)
+        assert a.rt60 == pytest.approx(b.rt60, rel=1e-6)
+        assert a.direction.x == pytest.approx(b.direction.x, abs=1e-6)
+        assert a.source_directivity.y == pytest.approx(
+            b.source_directivity.y, abs=1e-6)
+
+    # the two views genuinely differ (different listener -> different IR)
+    v0 = multi.result_at(6.0, 5.0, listener=0)
+    v1 = multi.result_at(6.0, 5.0, listener=1)
+    assert abs(v0.occlusion - v1.occlusion) > 1e-4
+
+    # emitter query per view; out-of-range view -> sentinel
+    eid = multi.emissions.emit(6.0, 0.0, 5.0)
+    assert multi.get_output(eid, listener=1).valid
+    assert not multi.result_at(6.0, 5.0, listener=2).valid
+    assert not multi.result_at(6.0, 5.0, listener=-1).valid
+    # multi snapshots drop the recordings -> IR accessor signals empty
+    assert multi.get_impulse_response(6.0, 5.0).size == 0
+
+    # returning to one listener restores the single-listener path
+    multi.set_listener_position(5.0, 0.0, 5.0)
+    multi.step()
+    assert multi.get_impulse_response(6.0, 5.0).size > 0
+    assert not multi.result_at(6.0, 5.0, listener=1).valid
+
+
+def test_multi_listener_validation():
+    import jax
+
+    from planeverb_tpu.parallel import grid_mesh
+
+    ctx = pv.Context(CFG)
+    with pytest.raises(ValueError, match="at least one"):
+        ctx.set_listener_positions([])
+    with pytest.raises(ValueError, match="triples"):
+        ctx.set_listener_positions([(1.0, 2.0)])
+    cells_ctx = pv.Context(CFG, publish="cells")
+    with pytest.raises(ValueError, match="grids"):
+        cells_ctx.set_listener_positions([(1, 0, 1), (2, 0, 2)])
+    mesh_ctx = pv.Context(CFG, mesh=grid_mesh(jax.devices(), (2, 4)))
+    with pytest.raises(ValueError, match="single-device"):
+        mesh_ctx.set_listener_positions([(1, 0, 1), (2, 0, 2)])
+    # a single-element list is just the ordinary listener
+    ctx.set_listener_positions([(4.0, 0.0, 4.0)])
+    assert ctx.get_listener_position() == (4.0, 0.0, 4.0)
+    assert ctx.get_listener_positions() == [(4.0, 0.0, 4.0)]

@@ -159,3 +159,36 @@ def test_init_with_mesh(client):
     # asking for more devices than exist is a clean error
     r = client.call("init", mesh=512)
     assert not r["ok"] and "devices" in r["error"]
+
+
+def test_multi_listener_over_wire(client):
+    """set_listener_positions + per-view get_output(s) (split-screen over
+    the protocol; Context.set_listener_positions docs)."""
+    r = client.call("init", grid_size_x=10, grid_size_y=10,
+                    grid_resolution=275, background=False, publish="grids")
+    assert r["ok"]
+    r = client.call("set_listener_positions",
+                    positions=[[3.0, 0.0, 3.0], [7.0, 0.0, 6.0]])
+    assert r["ok"] and r["count"] == 2
+    eid = client.call("emit", x=6.0, z=5.0)["id"]
+    client.call("step")
+
+    v0 = client.call("get_output", id=eid, listener=0)
+    v1 = client.call("get_output", id=eid, listener=1)
+    assert v0["ok"] and v0["valid"] and v1["ok"] and v1["valid"]
+    assert v0["occlusion"] != v1["occlusion"]
+    # out-of-range view -> invalid sentinel, not an error
+    v2 = client.call("get_output", id=eid, listener=5)
+    assert v2["ok"] and not v2["valid"]
+
+    rows = client.call("get_outputs", listener=1)
+    assert rows["ok"] and rows["count"] == 1
+    assert rows["rows"][0] == pytest.approx(v1["occlusion"])
+
+    # cells publish rejects multi-listener with a clean error
+    r = client.call("init", grid_size_x=10, grid_size_y=10,
+                    grid_resolution=275, background=False, publish="cells")
+    assert r["ok"]
+    r = client.call("set_listener_positions",
+                    positions=[[1, 0, 1], [2, 0, 2]])
+    assert not r["ok"] and "grids" in r["error"]
