@@ -300,6 +300,36 @@ def main() -> None:
             "recording_hbm_bytes": t_pad * npx * npy * 2,
         }
 
+    # --- multi-listener engine mode: B pipelines in ONE program (one
+    # dispatch + one packed fetch, core/context.py::_pipeline_packed_multi)
+    # vs B separate dispatches — the split-screen batch axis
+    def _multi_listener():
+        from planeverb_tpu.core.context import _pipeline_packed_multi
+
+        B = 4
+        cells_np = np.array([[5 + 20 * i, 5 + 15 * i] for i in range(B)],
+                            np.int32)
+        lpos = jnp.asarray(cells_np.astype(np.float32) * params.dx)
+        cells_b = jnp.asarray(cells_np)
+
+        def one(eps):
+            packed = _pipeline_packed_multi(
+                params, beta, refl, pulse * (1.0 + eps), cells_b,
+                jnp.float32(1.0), lpos)
+            return packed[:, 5, 5, 0].sum() * 1e-2
+
+        float(np.asarray(one(0.0)))
+        s = time_chained_stats(one, n=10, reps=3)
+        t = s["median_s"]
+        return {
+            "listeners": B,
+            "wall_ms": round(t * 1e3, 2),
+            "wall_ms_spread": spread_ms(s),
+            "ms_per_listener": round(t * 1e3 / B, 2),
+            "note": "B full pipelines, one dispatch+fetch; compare "
+                    "pipeline_wall_s x B for the unbatched cost",
+        }
+
     # --- beyond-VMEM shard through the ENGINE's sharded path: when a
     # shard's round kernel exceeds the VMEM budget, simulate_moments_sharded
     # auto-routes to the band-streamed round kernel (HBM state,
@@ -372,6 +402,7 @@ def main() -> None:
                         ("tiled_large_grid", _tiled_large),
                         ("tiled_xl", _tiled_xl),
                         ("bf16_mode", _bf16_mode),
+                        ("multi_listener", _multi_listener),
                         ("sharded_pallas_1x1", _sharded_pallas),
                         ("sharded_banded_1x1", _sharded_banded)):
             try:

@@ -92,6 +92,14 @@ namespace Planeverb
         [DllImport(DLL)] public static extern int PlaneverbGetOutputs(
             IntPtr ctx, int[] ids, int count,
             [Out] PlaneverbOutput[] outputs);
+        // split-screen: B listeners ([x0,y0,z0, x1,y1,z1, ...]) and a
+        // per-view batched poll
+        [DllImport(DLL)] public static extern int
+            PlaneverbSetListenerPositions(IntPtr ctx, float[] xyz,
+                int count);
+        [DllImport(DLL)] public static extern int PlaneverbGetOutputsEx(
+            IntPtr ctx, int[] ids, int count, int listener,
+            [Out] PlaneverbOutput[] outputs);
     }
 
     /// One engine connection + lifetime. The reference equivalent is the

@@ -167,6 +167,24 @@ def _pipeline_packed_multi(params, beta, refl, pulse, cells, efree, lpos,
                              lpos[:, 0], lpos[:, 1]))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "compute_directions",
+                                    "state_dtype"))
+def _pipeline_cells_multi(params, beta, refl, pulse, lcells, efree, lpos,
+                          cells, compute_directions: bool = True,
+                          state_dtype=jnp.float32):
+    """Multi-listener counterpart of :func:`_pipeline_cells`: B pipelines,
+    the query cells' rows gathered per view on device. Returns
+    (packed [B, gx, gy, 9] device, rows [B, Q, 9]) — callers fetch only
+    ``rows`` (the per-emitter game pattern, one small transfer for ALL
+    views)."""
+    packed = _pipeline_packed_multi(
+        params, beta, refl, pulse, lcells, efree, lpos,
+        compute_directions=compute_directions, state_dtype=state_dtype)
+    rows = packed[:, cells[:, 0], cells[:, 1]]
+    return packed, rows
+
+
 def _output_from_row(row) -> PlaneverbOutput:
     """One packed [9] row -> PlaneverbOutput (layout per _pipeline_packed)."""
     return PlaneverbOutput(
@@ -320,10 +338,11 @@ class Context:
         ``step()`` then batches one simulation per listener (the
         ops/batch.py data-parallel axis surfaced on the engine runtime;
         the reference runs exactly one listener per context,
-        PvContext.cpp:63-94) and publishes [B, ...] parameter grids in
-        one fetch; query per view with ``result_at(x, z, listener=i)`` /
-        ``get_output(eid, listener=i)``. Requires publish='grids' and a
-        single-device context; a 1-element list (or
+        PvContext.cpp:63-94) and publishes every view's results in one
+        fetch — full [B, ...] grids in grids mode, the live emitters'
+        [B, Q, 9] rows in cells mode; query per view with
+        ``result_at(x, z, listener=i)`` / ``get_output(eid, listener=i)``.
+        Single-device contexts only; a 1-element list (or
         ``set_listener_position``) returns to the single-listener path.
         """
         positions = [tuple(float(v) for v in p) for p in positions]
@@ -331,15 +350,10 @@ class Context:
             raise ValueError("need at least one listener position")
         if any(len(p) != 3 for p in positions):
             raise ValueError("listener positions are (x, y, z) triples")
-        if len(positions) > 1:
-            if self._publish_cells:
-                raise ValueError(
-                    "multi-listener mode needs publish='grids' (the cells "
-                    "publish is keyed per emitter cell, not per view)")
-            if self.mesh is not None:
-                raise ValueError(
-                    "multi-listener mode is single-device; compose the "
-                    "batch axis with a mesh via ops/batch instead")
+        if len(positions) > 1 and self.mesh is not None:
+            raise ValueError(
+                "multi-listener mode is single-device; compose the "
+                "batch axis with a mesh via ops/batch instead")
         with self._listener_lock:
             self._listener = positions[0]
             self._listeners_multi = (positions if len(positions) > 1
@@ -471,46 +485,83 @@ class Context:
             self._iter_cond.notify_all()
 
     def _step_multi(self, listeners) -> None:
-        """Multi-listener iteration: B sims, one packed [B, gx, gy, 9]
-        publish (see :func:`_pipeline_packed_multi`)."""
+        """Multi-listener iteration: B sims in one program, one fetch.
+
+        grids publish: the packed [B, gx, gy, 9] grids
+        (:func:`_pipeline_packed_multi`); cells publish: only the live
+        emitters' rows for ALL views, [B, Q, 9]
+        (:func:`_pipeline_cells_multi` — the split-screen game pattern).
+        """
         p = self.params
-        cells = np.array([list(p.world_to_cell(lx, lz))
-                          for lx, _, lz in listeners], np.int32)
+        lcells = np.array([list(p.world_to_cell(lx, lz))
+                           for lx, _, lz in listeners], np.int32)
         lpos = np.array([[lx, lz] for lx, _, lz in listeners], np.float32)
-        with self.timer.stage("simulate+analyze"):
-            packed = _pipeline_packed_multi(
-                p, self._beta, self._refl, self._pulse, jnp.asarray(cells),
-                np.float32(self.efree), jnp.asarray(lpos),
-                compute_directions=not self._lazy_doa,
-                state_dtype=self._state_dtype)
-        with self.timer.stage("publish"):
-            grids = np.asarray(packed)         # ONE [B, gx, gy, 9] fetch
-            published = {
-                "occlusion": grids[..., 0],
-                "wet_gain": grids[..., 1],
-                "rt60": grids[..., 2],
-                "lowpass": grids[..., 3],
-                "direction": grids[..., 4:6],
-                "source_directivity": grids[..., 6:8],
-                "delay_samples": grids[..., 8],
-                "listener": (listeners[0][0], listeners[0][2]),
-                "listeners": [(lx, lz) for lx, _, lz in listeners],
-            }
+        views = [(lx, lz) for lx, _, lz in listeners]
+        if self._publish_cells:
+            wanted = self._wanted_cells()
+            q = max(1, _next_pow2(len(wanted)))
+            cells = np.zeros((q, 2), np.int32)
+            if wanted:
+                cells[:len(wanted)] = wanted
+            with self.timer.stage("simulate+analyze"):
+                packed, rows = _pipeline_cells_multi(
+                    p, self._beta, self._refl, self._pulse,
+                    jnp.asarray(lcells), np.float32(self.efree),
+                    jnp.asarray(lpos), jnp.asarray(cells),
+                    compute_directions=True,
+                    state_dtype=self._state_dtype)
+            with self.timer.stage("publish"):
+                fetched = np.asarray(rows)     # ONE [B, Q, 9] fetch
+                cache = {cell: fetched[:, i]   # [B, 9] per emitter cell
+                         for i, cell in enumerate(wanted)}
+                published = {
+                    "cells": cache,
+                    "packed_device": packed,   # device [B, gx, gy, 9]
+                    "listener": views[0],
+                    "listeners": views,
+                }
+        else:
+            with self.timer.stage("simulate+analyze"):
+                packed = _pipeline_packed_multi(
+                    p, self._beta, self._refl, self._pulse,
+                    jnp.asarray(lcells), np.float32(self.efree),
+                    jnp.asarray(lpos),
+                    compute_directions=not self._lazy_doa,
+                    state_dtype=self._state_dtype)
+            with self.timer.stage("publish"):
+                grids = np.asarray(packed)     # ONE [B, gx, gy, 9] fetch
+                published = {
+                    "occlusion": grids[..., 0],
+                    "wet_gain": grids[..., 1],
+                    "rt60": grids[..., 2],
+                    "lowpass": grids[..., 3],
+                    "direction": grids[..., 4:6],
+                    "source_directivity": grids[..., 6:8],
+                    "delay_samples": grids[..., 8],
+                    "listener": views[0],
+                    "listeners": views,
+                }
         self._published = published
         with self._iter_cond:
             self._iteration += 1
             self._iter_cond.notify_all()
 
-    def _step_cells(self, lx, lz, cix, ciy) -> None:
-        """publish='cells' iteration: per-emitter rows fetched, grid kept
-        on device (the reference's per-emitter GetOutput access pattern)."""
+    def _wanted_cells(self) -> list:
+        """Live emitters' in-grid cells, deduplicated (the set the cells
+        publish fetches each iteration)."""
         p = self.params
         wanted = []
         for em in self.emissions.snapshot_emissions().values():
             cx, cy = p.world_to_cell(em.position[0], em.position[2])
             if 0 <= cx < p.grid_x and 0 <= cy < p.grid_y:
                 wanted.append((cx, cy))
-        wanted = sorted(set(wanted))
+        return sorted(set(wanted))
+
+    def _step_cells(self, lx, lz, cix, ciy) -> None:
+        """publish='cells' iteration: per-emitter rows fetched, grid kept
+        on device (the reference's per-emitter GetOutput access pattern)."""
+        p = self.params
+        wanted = self._wanted_cells()
         q = max(1, _next_pow2(len(wanted)))    # stable jit shapes
         cells = np.zeros((q, 2), np.int32)
         if wanted:
@@ -593,8 +644,12 @@ class Context:
                 with self._probe_lock:
                     row = results["cells"].get((cx, cy))
                     if row is None:
-                        row = np.asarray(results["packed_device"][cx, cy])
+                        dev = results["packed_device"]
+                        row = np.asarray(dev[:, cx, cy] if views is not None
+                                         else dev[cx, cy])
                         results["cells"][(cx, cy)] = row
+            if views is not None:
+                row = row[listener]    # cache rows are [B, 9] per cell
             return _output_from_row(row)
         if self._lazy_doa:
             from planeverb_tpu.ops.doa import walk_direction

@@ -134,6 +134,12 @@ def load_engine_client_library() -> ctypes.CDLL:
     lib.PlaneverbGetOutputs.restype = i32
     lib.PlaneverbGetOutputs.argtypes = [void_p, ctypes.POINTER(i32), i32,
                                         ctypes.POINTER(_OutputC)]
+    lib.PlaneverbGetOutputsEx.restype = i32
+    lib.PlaneverbGetOutputsEx.argtypes = [void_p, ctypes.POINTER(i32), i32,
+                                          i32, ctypes.POINTER(_OutputC)]
+    lib.PlaneverbSetListenerPositions.restype = i32
+    lib.PlaneverbSetListenerPositions.argtypes = [void_p,
+                                                  ctypes.POINTER(f32), i32]
     lib.PlaneverbAddGeometryMaterial.restype = i32
     lib.PlaneverbAddGeometryMaterial.argtypes = [void_p, f32, f32, f32, f32,
                                                  ctypes.c_char_p]
@@ -211,6 +217,15 @@ class NativeEngineClient:
     def set_listener_position(self, x, y, z) -> None:
         self._lib.PlaneverbSetListenerPosition(self._h, x, y, z)
 
+    def set_listener_positions(self, positions) -> bool:
+        """Multi-listener (split-screen) mode: [(x, y, z), ...]. Poll per
+        view with get_outputs(ids, listener=i). Returns False when the
+        server rejects (e.g. the cells publish mode)."""
+        flat = [float(v) for p in positions for v in p]
+        arr = (ctypes.c_float * len(flat))(*flat)
+        return bool(self._lib.PlaneverbSetListenerPositions(
+            self._h, arr, len(positions)))
+
     def step(self) -> int:
         return self._lib.PlaneverbStep(self._h)
 
@@ -229,14 +244,16 @@ class NativeEngineClient:
                 "source_directivity": (out.sourceDirectivityX,
                                        out.sourceDirectivityY)}
 
-    def get_outputs(self, ids):
+    def get_outputs(self, ids, listener: int = 0):
         """Batched per-frame poll (PlaneverbGetOutputs): all ids' params in
         ONE server round-trip. Returns a list aligned with ``ids`` of
-        param dicts (None for invalid emitters)."""
+        param dicts (None for invalid emitters). ``listener`` selects the
+        view in multi-listener mode (PlaneverbGetOutputsEx)."""
         n = len(ids)
         arr = (ctypes.c_int * n)(*ids)
         outs = (_OutputC * n)()
-        got = self._lib.PlaneverbGetOutputs(self._h, arr, n, outs)
+        got = self._lib.PlaneverbGetOutputsEx(self._h, arr, n, listener,
+                                              outs)
         if got < 0:
             raise ConnectionError("get_outputs protocol failure")
         result = []

@@ -310,21 +310,40 @@ int PlaneverbGetOutput(void* c, int id, PlaneverbOutputC* out) {
     return 1;
 }
 
+// Multi-listener (split-screen) mode: B listeners at once, xyz packed as
+// [x0,y0,z0, x1,y1,z1, ...]; per-view polls then pass a view index to
+// PlaneverbGetOutputsEx. count=1 behaves like PlaneverbSetListenerPosition.
+// Returns 1 on success, 0 on rejection (bad positions).
+int PlaneverbSetListenerPositions(void* c, const float* xyz, int count) {
+    if (count <= 0 || !xyz) return 0;
+    std::string req = "{\"cmd\":\"set_listener_positions\",\"positions\":[";
+    for (int i = 0; i < count; i++) {
+        if (i) req += ",";
+        req += std::string("[") + fmt(xyz[3 * i]) + "," +
+               fmt(xyz[3 * i + 1]) + "," + fmt(xyz[3 * i + 2]) + "]";
+    }
+    req += "]}";
+    std::string resp;
+    return (roundtrip(c, req, &resp) && json_true(resp, "ok")) ? 1 : 0;
+}
+
 // Batched per-frame poll: every emitter's params in ONE round-trip. The
 // reference's per-frame pattern polls each emitter through GetOutput
 // (PlaneverbAudioSource.cs:171-183) — in-process that is free; over the
 // socket each id costs a round-trip, so game loops should call this once
 // per frame with all live ids. Fills outs[0..count); invalid emitters get
 // the occlusion -1 sentinel, zero-filled. Returns the number of VALID
-// outputs, or -1 on protocol failure.
-int PlaneverbGetOutputs(void* c, const int* ids, int count,
-                        PlaneverbOutputC* outs) {
+// outputs, or -1 on protocol failure. ``listener`` selects the view in
+// multi-listener mode (0 otherwise).
+int PlaneverbGetOutputsEx(void* c, const int* ids, int count, int listener,
+                          PlaneverbOutputC* outs) {
     for (int i = 0; i < count; i++) {
         memset(&outs[i], 0, sizeof outs[i]);
         outs[i].occlusion = -1.0f;
     }
     if (count <= 0) return 0;
-    std::string req = "{\"cmd\":\"get_outputs\",\"ids\":[";
+    std::string req = "{\"cmd\":\"get_outputs\",\"listener\":" +
+        fmt(listener) + ",\"ids\":[";
     for (int i = 0; i < count; i++) {
         if (i) req += ",";
         req += fmt(ids[i]);
@@ -362,6 +381,11 @@ int PlaneverbGetOutputs(void* c, const int* ids, int count,
         }
     }
     return n_valid;
+}
+
+int PlaneverbGetOutputs(void* c, const int* ids, int count,
+                        PlaneverbOutputC* outs) {
+    return PlaneverbGetOutputsEx(c, ids, count, 0, outs);
 }
 
 }  // extern "C"

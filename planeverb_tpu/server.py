@@ -249,8 +249,8 @@ class EngineServer:
         """Multi-listener (split-screen) mode: {"positions": [[x,y,z],...]}.
 
         Subsequent get_output/get_outputs accept "listener": i to select
-        the view. Requires the grids publish mode
-        (Context.set_listener_positions docs).
+        the view; works in both publish modes (the cells publish fetches
+        every view's emitter rows in one [B, Q, 9] transfer).
         """
         try:
             self._ctx.set_listener_positions(

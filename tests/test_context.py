@@ -449,9 +449,6 @@ def test_multi_listener_validation():
         ctx.set_listener_positions([])
     with pytest.raises(ValueError, match="triples"):
         ctx.set_listener_positions([(1.0, 2.0)])
-    cells_ctx = pv.Context(CFG, publish="cells")
-    with pytest.raises(ValueError, match="grids"):
-        cells_ctx.set_listener_positions([(1, 0, 1), (2, 0, 2)])
     mesh_ctx = pv.Context(CFG, mesh=grid_mesh(jax.devices(), (2, 4)))
     with pytest.raises(ValueError, match="single-device"):
         mesh_ctx.set_listener_positions([(1, 0, 1), (2, 0, 2)])
@@ -459,3 +456,30 @@ def test_multi_listener_validation():
     ctx.set_listener_positions([(4.0, 0.0, 4.0)])
     assert ctx.get_listener_position() == (4.0, 0.0, 4.0)
     assert ctx.get_listener_positions() == [(4.0, 0.0, 4.0)]
+
+
+def test_multi_listener_cells_publish():
+    """Split-screen in the cells publish: per-view per-emitter rows in one
+    [B, Q, 9] fetch (core/context.py::_pipeline_cells_multi) must match
+    the grids-publish multi context view for view."""
+    positions = [(3.0, 0.0, 3.0), (7.0, 0.0, 6.0)]
+    cells_ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                           publish="cells")
+    grids_ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    for c in (cells_ctx, grids_ctx):
+        c.set_listener_positions(positions)
+        c.emissions.emit(6.0, 0.0, 5.0)
+        c.step()
+    for i in range(2):
+        a = cells_ctx.result_at(6.0, 5.0, listener=i)
+        b = grids_ctx.result_at(6.0, 5.0, listener=i)
+        assert a.valid and a.occlusion == pytest.approx(b.occlusion,
+                                                        rel=1e-6)
+        assert a.rt60 == pytest.approx(b.rt60, rel=1e-6)
+        assert a.direction.x == pytest.approx(b.direction.x, abs=1e-6)
+    # probe outside the emitter set: on-demand per-view row fetch
+    probe = cells_ctx.result_at(4.0, 4.0, listener=1)
+    ref = grids_ctx.result_at(4.0, 4.0, listener=1)
+    assert probe.valid and probe.occlusion == pytest.approx(ref.occlusion,
+                                                            rel=1e-6)
+    assert not cells_ctx.result_at(6.0, 5.0, listener=3).valid

@@ -181,3 +181,31 @@ def test_c_demo_compiles_and_runs(server, tmp_path):
     assert r.returncode == 0, r.stderr
     assert "occlusion" in r.stdout
     assert "batched poll: 50/50 emitters valid in one call" in r.stdout
+
+
+def test_multi_listener_through_c_abi(cabi, server):
+    """PlaneverbSetListenerPositions + PlaneverbGetOutputsEx: split-screen
+    views over the C ABI; each view's batched rows match the Python
+    client's per-view get_output."""
+    cabi.init(10.0, 10.0, resolution=275, background=False)
+    walls = [(5.0, 2.5, 10.0, 1.0), (5.0, 7.5, 10.0, 1.0),
+             (2.5, 5.0, 1.0, 10.0), (7.5, 5.0, 1.0, 10.0)]
+    for x, y, w, h in walls:
+        cabi.add_geometry(x, y, w, h, 0.969536)
+    assert cabi.set_listener_positions([(5.0, 0.0, 5.0), (4.0, 0.0, 6.0)])
+    eid = cabi.emit(6.5, 0.0, 5.0)
+    cabi.step()
+
+    v0 = cabi.get_outputs([eid], listener=0)[0]
+    v1 = cabi.get_outputs([eid], listener=1)[0]
+    assert v0 is not None and v1 is not None
+    assert v0["occlusion"] != v1["occlusion"]
+    # out-of-range view: invalid sentinel, not a protocol error
+    assert cabi.get_outputs([eid], listener=9)[0] is None
+
+    py = EngineClient(*server.address)
+    ref = py.call("get_output", id=eid, listener=1)
+    py.close()
+    np.testing.assert_allclose(v1["occlusion"], ref["occlusion"], rtol=1e-6)
+    np.testing.assert_allclose(v1["rt60"], ref["rt60"], rtol=1e-6)
+    cabi.exit()

@@ -185,10 +185,18 @@ def test_multi_listener_over_wire(client):
     assert rows["ok"] and rows["count"] == 1
     assert rows["rows"][0] == pytest.approx(v1["occlusion"])
 
-    # cells publish rejects multi-listener with a clean error
+    # the cells publish (the server default) supports views too: rows are
+    # fetched per view in one [B, Q, 9] transfer
     r = client.call("init", grid_size_x=10, grid_size_y=10,
                     grid_resolution=275, background=False, publish="cells")
     assert r["ok"]
     r = client.call("set_listener_positions",
-                    positions=[[1, 0, 1], [2, 0, 2]])
-    assert not r["ok"] and "grids" in r["error"]
+                    positions=[[3.0, 0.0, 3.0], [7.0, 0.0, 6.0]])
+    assert r["ok"]
+    eid = client.call("emit", x=6.0, z=5.0)["id"]
+    client.call("step")
+    c0 = client.call("get_output", id=eid, listener=0)
+    c1 = client.call("get_output", id=eid, listener=1)
+    assert c0["valid"] and c1["valid"]
+    assert c0["occlusion"] == pytest.approx(v0["occlusion"], rel=1e-6)
+    assert c1["occlusion"] == pytest.approx(v1["occlusion"], rel=1e-6)
