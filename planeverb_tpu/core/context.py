@@ -185,6 +185,21 @@ def _pipeline_cells_multi(params, beta, refl, pulse, lcells, efree, lpos,
     return packed, rows
 
 
+def _grids_dict(grids) -> dict:
+    """Fetched packed array -> named grids. The one place the
+    :func:`_pack` column layout is unpacked for publishing (grids may
+    carry a leading [B] listener axis)."""
+    return {
+        "occlusion": grids[..., 0],
+        "wet_gain": grids[..., 1],
+        "rt60": grids[..., 2],
+        "lowpass": grids[..., 3],
+        "direction": grids[..., 4:6],
+        "source_directivity": grids[..., 6:8],
+        "delay_samples": grids[..., 8],
+    }
+
+
 def _output_from_row(row) -> PlaneverbOutput:
     """One packed [9] row -> PlaneverbOutput (layout per _pipeline_packed)."""
     return PlaneverbOutput(
@@ -467,15 +482,8 @@ class Context:
             # single host fetch of the packed result grids (see
             # _pipeline_packed: per-array fetches cost a tunnel round-trip
             # each); the [T, nx, ny] recording stays on device.
-            grids = np.asarray(packed)
             published = {
-                "occlusion": grids[..., 0],
-                "wet_gain": grids[..., 1],
-                "rt60": grids[..., 2],
-                "lowpass": grids[..., 3],
-                "direction": grids[..., 4:6],
-                "source_directivity": grids[..., 6:8],
-                "delay_samples": grids[..., 8],
+                **_grids_dict(np.asarray(packed)),
                 "listener": (lx, lz),
                 "pressure": pressure,          # device [T, nx, ny]
             }
@@ -498,11 +506,7 @@ class Context:
         lpos = np.array([[lx, lz] for lx, _, lz in listeners], np.float32)
         views = [(lx, lz) for lx, _, lz in listeners]
         if self._publish_cells:
-            wanted = self._wanted_cells()
-            q = max(1, _next_pow2(len(wanted)))
-            cells = np.zeros((q, 2), np.int32)
-            if wanted:
-                cells[:len(wanted)] = wanted
+            wanted, cells = self._wanted_cells()
             with self.timer.stage("simulate+analyze"):
                 packed, rows = _pipeline_cells_multi(
                     p, self._beta, self._refl, self._pulse,
@@ -529,15 +533,9 @@ class Context:
                     compute_directions=not self._lazy_doa,
                     state_dtype=self._state_dtype)
             with self.timer.stage("publish"):
-                grids = np.asarray(packed)     # ONE [B, gx, gy, 9] fetch
+                # ONE [B, gx, gy, 9] fetch
                 published = {
-                    "occlusion": grids[..., 0],
-                    "wet_gain": grids[..., 1],
-                    "rt60": grids[..., 2],
-                    "lowpass": grids[..., 3],
-                    "direction": grids[..., 4:6],
-                    "source_directivity": grids[..., 6:8],
-                    "delay_samples": grids[..., 8],
+                    **_grids_dict(np.asarray(packed)),
                     "listener": views[0],
                     "listeners": views,
                 }
@@ -546,26 +544,28 @@ class Context:
             self._iteration += 1
             self._iter_cond.notify_all()
 
-    def _wanted_cells(self) -> list:
+    def _wanted_cells(self):
         """Live emitters' in-grid cells, deduplicated (the set the cells
-        publish fetches each iteration)."""
+        publish fetches each iteration), plus the pow2-padded [Q, 2]
+        query array (stable jit shapes)."""
         p = self.params
         wanted = []
         for em in self.emissions.snapshot_emissions().values():
             cx, cy = p.world_to_cell(em.position[0], em.position[2])
             if 0 <= cx < p.grid_x and 0 <= cy < p.grid_y:
                 wanted.append((cx, cy))
-        return sorted(set(wanted))
+        wanted = sorted(set(wanted))
+        q = max(1, _next_pow2(len(wanted)))
+        cells = np.zeros((q, 2), np.int32)
+        if wanted:
+            cells[:len(wanted)] = wanted
+        return wanted, cells
 
     def _step_cells(self, lx, lz, cix, ciy) -> None:
         """publish='cells' iteration: per-emitter rows fetched, grid kept
         on device (the reference's per-emitter GetOutput access pattern)."""
         p = self.params
-        wanted = self._wanted_cells()
-        q = max(1, _next_pow2(len(wanted)))    # stable jit shapes
-        cells = np.zeros((q, 2), np.int32)
-        if wanted:
-            cells[:len(wanted)] = wanted
+        wanted, cells = self._wanted_cells()
         with self.timer.stage("simulate+analyze"):
             if self.mesh is not None:
                 pressure, packed, rows = _pipeline_cells_sharded(
@@ -677,9 +677,14 @@ class Context:
             return invalid_output()
         return self.result_at(pos[0], pos[2], listener=listener)
 
-    def sync_dsp(self, dsp) -> dict[int, tuple[PlaneverbOutput, float]]:
+    def sync_dsp(self, dsp,
+                 listener: int = 0) -> dict[int, tuple[PlaneverbOutput,
+                                                       float]]:
         """Push every live emission's state into a DSP context and return
-        ``{eid: (acoustic output, emit-time volume gain)}``.
+        ``{eid: (acoustic output, emit-time volume gain)}``. In
+        multi-listener mode pass one DSP context per view with its
+        ``listener`` index (each split-screen player mixes against their
+        own parameters).
 
         This is the per-frame engine->DSP handoff the reference spreads over
         its Unity components (PlaneverbEmitter.cs:52-60 UpdateEmission/
@@ -694,7 +699,8 @@ class Context:
         for eid, em in sorted(live.items()):
             dsp.update_emitter(eid, em.position, em.forward)
             dsp.set_emitter_directivity_pattern(eid, em.pattern)
-            results[eid] = (self.result_at(em.position[0], em.position[2]),
+            results[eid] = (self.result_at(em.position[0], em.position[2],
+                                           listener=listener),
                             em.volume_gain)
         # drop DSP-side state for emitters that ended since the last sync:
         # emission ids are free-list-reused (EmissionManager.cpp:37-67), and
@@ -738,5 +744,13 @@ class Context:
         if pipe:
             from planeverb_tpu.utils.profiling import throughput
 
-            summary["throughput"] = throughput(self.params, pipe["mean_s"])
+            # the stage times the WHOLE iteration: B pipelines in
+            # multi-listener mode, so per-listener wall is mean/B (the
+            # historical mean mixes modes only if the caller switched
+            # listener counts mid-run)
+            b = len(self.get_listener_positions())
+            summary["throughput"] = throughput(self.params,
+                                               pipe["mean_s"] / max(b, 1))
+            if b > 1:
+                summary["throughput"]["listeners"] = b
         return summary

@@ -218,10 +218,16 @@ class NativeEngineClient:
         self._lib.PlaneverbSetListenerPosition(self._h, x, y, z)
 
     def set_listener_positions(self, positions) -> bool:
-        """Multi-listener (split-screen) mode: [(x, y, z), ...]. Poll per
-        view with get_outputs(ids, listener=i). Returns False when the
-        server rejects (e.g. the cells publish mode)."""
-        flat = [float(v) for p in positions for v in p]
+        """Multi-listener (split-screen) mode: [(x, y, z), ...]; works in
+        both publish modes. Poll per view with
+        get_outputs(ids, listener=i). Returns False when the server
+        rejects (bad positions, or a mesh-sharded engine)."""
+        positions = [tuple(float(v) for v in p) for p in positions]
+        if any(len(p) != 3 for p in positions):
+            # the C side reads xyz[3i..3i+2] unconditionally; a short
+            # tuple would read out of bounds and send garbage coordinates
+            raise ValueError("listener positions are (x, y, z) triples")
+        flat = [v for p in positions for v in p]
         arr = (ctypes.c_float * len(flat))(*flat)
         return bool(self._lib.PlaneverbSetListenerPositions(
             self._h, arr, len(positions)))

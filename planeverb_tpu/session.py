@@ -27,9 +27,10 @@ from planeverb_tpu.scene import AABB
 __all__ = ["save_session", "load_session", "SESSION_FORMAT"]
 
 SESSION_FORMAT = "planeverb_tpu.session"
-# v2 adds emit-time emitter attributes (forward, volume_db, pattern);
-# v1 documents (position-only emitter rows) still load.
-SESSION_VERSION = 2
+# v3 adds the multi-listener list ("listeners"); v2 added emit-time
+# emitter attributes (forward, volume_db, pattern); v1 documents
+# (position-only emitter rows) still load.
+SESSION_VERSION = 3
 
 
 def _session_dict(ctx) -> dict:
@@ -45,6 +46,7 @@ def _session_dict(ctx) -> dict:
         "version": SESSION_VERSION,
         "config": cfg,
         "listener": list(ctx.get_listener_position()),
+        "listeners": [list(p) for p in ctx.get_listener_positions()],
         "geometry": geo,
         "geometry_free": ctx.geometry.free_ids(),
         "emitters": emitters,
@@ -95,7 +97,11 @@ def load_session(path_or_file, **context_kwargs):
     ctx.emissions.restore(
         [(row[0], _emission_row(row[1:])) for row in doc["emitters"]],
         free=doc.get("emitters_free"))
-    ctx.set_listener_position(*doc["listener"])
+    listeners = doc.get("listeners")       # v3 multi-listener list
+    if listeners:
+        ctx.set_listener_positions([tuple(p) for p in listeners])
+    else:
+        ctx.set_listener_position(*doc["listener"])
     return ctx
 
 

@@ -483,3 +483,22 @@ def test_multi_listener_cells_publish():
     assert probe.valid and probe.occlusion == pytest.approx(ref.occlusion,
                                                             rel=1e-6)
     assert not cells_ctx.result_at(6.0, 5.0, listener=3).valid
+
+
+def test_multi_listener_sync_dsp_per_view():
+    """Each split-screen player's DSP sync pulls that view's parameters
+    (Context.sync_dsp(dsp, listener=i))."""
+    from planeverb_tpu.config import PlaneverbDSPConfig
+    from planeverb_tpu.dsp import DSPContext
+
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_positions([(5.0, 0.0, 5.0), (4.0, 0.0, 6.0)])
+    eid = ctx.emissions.emit(6.5, 0.0, 5.0)
+    ctx.step()
+    cfg = PlaneverbDSPConfig(max_callback_length=256)
+    r0 = ctx.sync_dsp(DSPContext(cfg), listener=0)
+    r1 = ctx.sync_dsp(DSPContext(cfg), listener=1)
+    assert r0[eid][0].valid and r1[eid][0].valid
+    assert r0[eid][0].occlusion != r1[eid][0].occlusion
+    assert r0[eid][0].occlusion == ctx.get_output(eid, listener=0).occlusion
+    assert r1[eid][0].occlusion == ctx.get_output(eid, listener=1).occlusion

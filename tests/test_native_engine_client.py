@@ -192,6 +192,8 @@ def test_multi_listener_through_c_abi(cabi, server):
              (2.5, 5.0, 1.0, 10.0), (7.5, 5.0, 1.0, 10.0)]
     for x, y, w, h in walls:
         cabi.add_geometry(x, y, w, h, 0.969536)
+    with pytest.raises(ValueError, match="triples"):
+        cabi.set_listener_positions([(1.0, 2.0)])   # guards the C-side read
     assert cabi.set_listener_positions([(5.0, 0.0, 5.0), (4.0, 0.0, 6.0)])
     eid = cabi.emit(6.5, 0.0, 5.0)
     cabi.step()

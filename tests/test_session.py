@@ -104,3 +104,25 @@ class TestSessionRoundtrip:
         assert ctx2.geometry.add(pv.AABB(9.0, 8.0, 0.5, 0.5, 0.5)) == ids[3]
         assert ctx2.emissions.emit(9.0, 0.0, 9.0) == e[0]
         assert ctx2.emissions.emit(9.0, 0.0, 8.0) == e[2]
+
+
+def test_multi_listener_survives_roundtrip():
+    """v3 sessions carry the split-screen listener list; restore returns a
+    context in multi-listener mode with every view queryable."""
+    from planeverb_tpu.session import load_session, save_session
+
+    positions = [(3.0, 0.0, 3.0), (7.0, 0.0, 6.0)]
+    ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    ctx.set_listener_positions(positions)
+    ctx.emissions.emit(6.0, 0.0, 5.0)
+    buf = io.StringIO()
+    save_session(ctx, buf)
+    buf.seek(0)
+    ctx2 = load_session(buf)
+    assert ctx2.get_listener_positions() == positions
+    ctx2.step()
+    a = ctx2.result_at(6.0, 5.0, listener=1)
+    assert a.valid
+    ctx.step()
+    b = ctx.result_at(6.0, 5.0, listener=1)
+    assert a.occlusion == pytest.approx(b.occlusion, rel=1e-6)
