@@ -89,7 +89,14 @@ class PhysicalConstants:
 
     @property
     def impulse_response_s(self) -> float:
-        """IR seconds to record: sqrt(2)*12.5/c + 0.25 (PvTypes.h:101)."""
+        """IR seconds to record: sqrt(2)*12.5/c + 0.25 (PvTypes.h:101).
+
+        sqrt(2)*12.5 is the half-diagonal of the reference's 25x25 m world:
+        wave travel from a centered listener to the farthest cell, plus a
+        0.25 s analysis tail (dry+wet windows + RT60 regression).
+        :func:`compute_grid_params` extends this for larger grids (the
+        constant would silently truncate their far cells — cells beyond
+        ~c*T of travel can never cross the onset threshold)."""
         return float(np.float32(math.sqrt(2.0)) * np.float32(12.5) / np.float32(self.c)
                      + np.float32(0.25))
 
@@ -213,6 +220,16 @@ class GridParams:
         return int(np.float32(self.constants.schroeder_offset_s)
                    * np.float32(self.fs))
 
+    @property
+    def covered_travel_m(self) -> float:
+        """Maximum listener-to-cell distance whose onset + full analysis
+        windows fit the recording: c * (T/fs - 0.25). The 0.25 s is the
+        analysis tail the IR law reserves (PvTypes.h:101); cells farther
+        than this from the listener can never cross the onset threshold
+        in time and publish the never-found sentinel values."""
+        return float(self.constants.c) * (self.response_length / self.fs
+                                          - 0.25)
+
 
 def compute_grid_params(config: PlaneverbConfig) -> GridParams:
     """Reproduces CalculateGridParameters + grid sizing in f32 arithmetic.
@@ -233,7 +250,19 @@ def compute_grid_params(config: PlaneverbConfig) -> GridParams:
     grid_x = int(grid_size_fx)
     grid_y = int(grid_size_fy)
 
-    response_length = int(np.float32(fs) * np.float32(k.impulse_response_s))
+    # IR length: the reference's constant sqrt(2)*12.5/c + 0.25 s
+    # (PvTypes.h:101) assumes its 25 m world — sqrt(2)*12.5 is that grid's
+    # half-diagonal (centered-listener worst-case travel). Larger grids
+    # extend the law by the extra half-diagonal travel so far cells still
+    # record their onset + full analysis windows; for grids <= 25 m the
+    # extra term is exactly 0 and the sample count stays bit-identical to
+    # the reference.
+    half_diag = np.float32(0.5) * np.hypot(np.float32(config.grid_size_x),
+                                           np.float32(config.grid_size_y))
+    ref_half_diag = np.float32(math.sqrt(2.0)) * np.float32(12.5)
+    extra_s = np.maximum(np.float32(0.0), half_diag - ref_half_diag) / c
+    response_length = int(np.float32(fs)
+                          * (np.float32(k.impulse_response_s) + extra_s))
 
     return GridParams(
         dx=float(dx),
@@ -347,4 +376,9 @@ def material_r(material) -> float:
                 f"unknown material {material!r}; known names: "
                 f"{', '.join(names)}") from None
         return value
-    return float(material)
+    value = float(material)
+    # same finiteness contract for plain numerics: NaN/inf would silently
+    # poison the stencil coefficients downstream
+    if not math.isfinite(value):
+        raise ValueError(f"material value must be finite, got {material!r}")
+    return value

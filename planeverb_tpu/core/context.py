@@ -185,6 +185,52 @@ def _pipeline_cells_multi(params, beta, refl, pulse, lcells, efree, lpos,
     return packed, rows
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("params", "mesh", "nx_pad", "ny_pad",
+                                    "halo", "interpret",
+                                    "compute_directions"))
+def _pipeline_packed_multi_sharded(params, beta, refl, pulse, lcells, efree,
+                                   lpos, mesh, nx_pad, ny_pad, halo,
+                                   interpret,
+                                   compute_directions: bool = True):
+    """Multi-chip counterpart of :func:`_pipeline_packed_multi`: B sharded
+    pipelines composed in ONE jitted program -> [B, gx, gy, 9].
+
+    The B axis is a Python-unrolled loop (B is small and static;
+    ``shard_map`` mesh axes don't batch under ``lax.map``), so every view
+    rides the same ppermute-halo sharded solver and the engine still pays
+    one dispatch and one packed fetch per iteration."""
+    from planeverb_tpu.parallel import pipeline_sharded
+
+    packs = []
+    for i in range(lcells.shape[0]):
+        _, out = pipeline_sharded(
+            params, beta, refl, pulse, lcells[i, 0], lcells[i, 1],
+            mesh, nx_pad, ny_pad, efree, lpos[i, 0], lpos[i, 1],
+            halo=halo, interpret=interpret,
+            compute_directions=compute_directions)
+        packs.append(_pack(out))
+    return jnp.stack(packs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "mesh", "nx_pad", "ny_pad",
+                                    "halo", "interpret",
+                                    "compute_directions"))
+def _pipeline_cells_multi_sharded(params, beta, refl, pulse, lcells, efree,
+                                  lpos, cells, mesh, nx_pad, ny_pad, halo,
+                                  interpret,
+                                  compute_directions: bool = True):
+    """Sharded multi-listener cells publish: (packed [B, gx, gy, 9] device,
+    rows [B, Q, 9]) — one small fetch for all views."""
+    packed = _pipeline_packed_multi_sharded(
+        params, beta, refl, pulse, lcells, efree, lpos,
+        mesh, nx_pad, ny_pad, halo, interpret,
+        compute_directions=compute_directions)
+    rows = packed[:, cells[:, 0], cells[:, 1]]
+    return packed, rows
+
+
 def _grids_dict(grids) -> dict:
     """Fetched packed array -> named grids. The one place the
     :func:`_pack` column layout is unpacked for publishing (grids may
@@ -307,6 +353,7 @@ class Context:
         self._listener = (0.0, 0.0, 0.0)
         self._listeners_multi: list | None = None
         self._listener_lock = threading.Lock()
+        self._coverage_warned = False
 
         # calibration (FreeGrid analog) — one empty-grid sim at init
         with self.timer.stage("calibration"):
@@ -338,7 +385,44 @@ class Context:
             self.geometry.load_scene(scene)
 
     # ------------------------------------------------------------- listener
+    def _warn_if_uncovered(self, x: float, z: float) -> None:
+        """Warn (once per context) when the IR length cannot cover the whole
+        grid from this listener position.
+
+        The IR law (config.py::compute_grid_params) reserves travel for the
+        grid HALF-diagonal — a centered listener. A listener far off-center
+        can be farther than that from the opposite corner, and cells beyond
+        ``covered_travel_m`` never record an onset (they publish the
+        never-found sentinels). The reference silently truncates in this
+        case (its constant assumes a centered 25 m listener, PvTypes.h:101).
+        """
+        if self._coverage_warned:
+            return
+        p = self.params
+        gx_m = p.grid_x * p.dx
+        gy_m = p.grid_y * p.dx
+        wx = x + p.grid_offset_x
+        wz = z + p.grid_offset_y
+        far = max(np.hypot(wx - cx, wz - cy)
+                  for cx in (0.0, gx_m) for cy in (0.0, gy_m))
+        # slack for the response-length truncation (<= 1 sample of travel)
+        # and cell quantization — a centered listener on any grid size must
+        # never warn (the IR law covers exactly its half-diagonal)
+        slack = 2.0 * p.constants.c / p.fs + 2.0 * p.dx
+        if far > p.covered_travel_m + slack:
+            import warnings
+
+            self._coverage_warned = True
+            warnings.warn(
+                f"listener at ({x:.1f}, {z:.1f}) is {far:.1f} m from the "
+                f"farthest grid corner but the impulse response only covers "
+                f"{p.covered_travel_m:.1f} m of travel; cells beyond that "
+                f"distance will publish never-found sentinel values "
+                f"(center the listener or enlarge the grid/IR length)",
+                RuntimeWarning, stacklevel=3)
+
     def set_listener_position(self, x: float, y: float, z: float) -> None:
+        self._warn_if_uncovered(x, z)
         with self._listener_lock:
             self._listener = (x, y, z)
             self._listeners_multi = None
@@ -357,18 +441,17 @@ class Context:
         fetch — full [B, ...] grids in grids mode, the live emitters'
         [B, Q, 9] rows in cells mode; query per view with
         ``result_at(x, z, listener=i)`` / ``get_output(eid, listener=i)``.
-        Single-device contexts only; a 1-element list (or
-        ``set_listener_position``) returns to the single-listener path.
+        Works on mesh-sharded contexts too (every view rides the sharded
+        pipeline); a 1-element list (or ``set_listener_position``) returns
+        to the single-listener path.
         """
         positions = [tuple(float(v) for v in p) for p in positions]
         if not positions:
             raise ValueError("need at least one listener position")
         if any(len(p) != 3 for p in positions):
             raise ValueError("listener positions are (x, y, z) triples")
-        if len(positions) > 1 and self.mesh is not None:
-            raise ValueError(
-                "multi-listener mode is single-device; compose the "
-                "batch axis with a mesh via ops/batch instead")
+        for px, _, pz in positions:
+            self._warn_if_uncovered(px, pz)
         with self._listener_lock:
             self._listener = positions[0]
             self._listeners_multi = (positions if len(positions) > 1
@@ -508,12 +591,20 @@ class Context:
         if self._publish_cells:
             wanted, cells = self._wanted_cells()
             with self.timer.stage("simulate+analyze"):
-                packed, rows = _pipeline_cells_multi(
-                    p, self._beta, self._refl, self._pulse,
-                    jnp.asarray(lcells), np.float32(self.efree),
-                    jnp.asarray(lpos), jnp.asarray(cells),
-                    compute_directions=True,
-                    state_dtype=self._state_dtype)
+                if self.mesh is not None:
+                    packed, rows = _pipeline_cells_multi_sharded(
+                        p, self._beta, self._refl, self._pulse,
+                        jnp.asarray(lcells), np.float32(self.efree),
+                        jnp.asarray(lpos), jnp.asarray(cells),
+                        self.mesh, self._nx_pad, self._ny_pad, self._halo,
+                        self._interpret, compute_directions=True)
+                else:
+                    packed, rows = _pipeline_cells_multi(
+                        p, self._beta, self._refl, self._pulse,
+                        jnp.asarray(lcells), np.float32(self.efree),
+                        jnp.asarray(lpos), jnp.asarray(cells),
+                        compute_directions=True,
+                        state_dtype=self._state_dtype)
             with self.timer.stage("publish"):
                 fetched = np.asarray(rows)     # ONE [B, Q, 9] fetch
                 cache = {cell: fetched[:, i]   # [B, 9] per emitter cell
@@ -526,12 +617,20 @@ class Context:
                 }
         else:
             with self.timer.stage("simulate+analyze"):
-                packed = _pipeline_packed_multi(
-                    p, self._beta, self._refl, self._pulse,
-                    jnp.asarray(lcells), np.float32(self.efree),
-                    jnp.asarray(lpos),
-                    compute_directions=not self._lazy_doa,
-                    state_dtype=self._state_dtype)
+                if self.mesh is not None:
+                    packed = _pipeline_packed_multi_sharded(
+                        p, self._beta, self._refl, self._pulse,
+                        jnp.asarray(lcells), np.float32(self.efree),
+                        jnp.asarray(lpos), self.mesh, self._nx_pad,
+                        self._ny_pad, self._halo, self._interpret,
+                        compute_directions=not self._lazy_doa)
+                else:
+                    packed = _pipeline_packed_multi(
+                        p, self._beta, self._refl, self._pulse,
+                        jnp.asarray(lcells), np.float32(self.efree),
+                        jnp.asarray(lpos),
+                        compute_directions=not self._lazy_doa,
+                        state_dtype=self._state_dtype)
             with self.timer.stage("publish"):
                 # ONE [B, gx, gy, 9] fetch
                 published = {

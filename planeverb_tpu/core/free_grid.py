@@ -7,9 +7,20 @@ window, and normalizes it to exactly 1 m via the 2D 1/r energy falloff
 ``EFree`` is the denominator for the analyzer's obstruction and wet-gain
 normalization.
 
-Here the same jitted solver runs on an empty field set; results are cached
-per grid-parameter key so repeated engine construction (and tests) pay the
-sim once per configuration.
+Scale note: the reference calibrates on a full-size empty grid every init
+(FreeGrid.cpp:84) — at 100x-grid scale that is an init-time full-field sim
+(and recording) per grid size for a quantity that does not depend on grid
+extent at all: EFree is the energy at a 1 m probe over the first
+``0.01 s + 1 m/c`` of travel, and that window closes before ANY outer-
+boundary echo can return to the probe once the boundary is farther than
+~2.7 m from the listener (echo path 2D-1 m > c*(0.01 + 1/c) m = 4.43 m).
+So grids larger than :data:`CAL_SIZE_M` calibrate on a fixed
+CAL_SIZE_M-square empty domain instead — the value is identical up to
+sub-f32 numerical-dispersion precursors (pinned by
+tests/test_analyzer.py::test_free_field_fixed_domain_matches_full_grid),
+the cache key collapses across grid sizes, and a mesh/tiled Context inits
+without a full-grid single-device sim. Grids at or below CAL_SIZE_M keep
+the reference's exact full-grid behavior (bit-compatible with r01-r03).
 """
 
 from __future__ import annotations
@@ -18,11 +29,18 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from planeverb_tpu.config import GridParams, gaussian_pulse
+from planeverb_tpu.config import (GridParams, PlaneverbConfig,
+                                  compute_grid_params, gaussian_pulse)
 from planeverb_tpu.ops import voxelize
 from planeverb_tpu.ops.fdtd_pallas import simulate_auto
 
-__all__ = ["calibrate_free_field", "clear_cache"]
+__all__ = ["calibrate_free_field", "clear_cache", "CAL_SIZE_M"]
+
+# Fixed calibration-domain side for large grids. Physics needs the boundary
+# > 2.7 m from the centered listener (see module docstring); 14 m puts it at
+# 7 m — 4+ m of margin against numerical-dispersion precursors — while
+# keeping the init sim small (107x107 cells at the 750 Hz extreme).
+CAL_SIZE_M = 14.0
 
 _CACHE: dict[tuple, float] = {}
 
@@ -33,12 +51,22 @@ def _key(params: GridParams) -> tuple:
             params.grid_offset_x, params.grid_offset_y)
 
 
-def calibrate_free_field(params: GridParams) -> float:
-    """Compute (or fetch cached) EFree for this grid configuration."""
-    key = _key(params)
-    if key in _CACHE:
-        return _CACHE[key]
+def _cal_params(params: GridParams) -> GridParams:
+    """Calibration domain: the grid itself when small, else the fixed
+    CAL_SIZE_M square (same resolution/boundary/constants, zero offset) —
+    making EFree, and its cache key, independent of grid extent."""
+    if min(params.grid_size_x, params.grid_size_y) <= CAL_SIZE_M:
+        return params
+    cfg = PlaneverbConfig(
+        grid_size_x=CAL_SIZE_M, grid_size_y=CAL_SIZE_M,
+        grid_resolution=params.resolution,
+        grid_boundary_type=params.boundary_type,
+        constants=params.constants)
+    return compute_grid_params(cfg)
 
+
+def _efree_on(params: GridParams) -> float:
+    """One empty-grid sim on ``params`` -> EFree (FreeGrid.cpp:71-110)."""
     beta, refl = voxelize.base_fields(params)
     pulse = gaussian_pulse(params)
 
@@ -64,8 +92,16 @@ def calibrate_free_field(params: GridParams) -> float:
                          dtype=np.float32))
 
     r = np.float32(emitter_x - lx) * np.float32(params.dx)
-    efree = float(np.float32(efree) * r)
+    return float(np.float32(efree) * r)
 
+
+def calibrate_free_field(params: GridParams) -> float:
+    """Compute (or fetch cached) EFree for this grid configuration."""
+    cal = _cal_params(params)
+    key = _key(cal)
+    if key in _CACHE:
+        return _CACHE[key]
+    efree = _efree_on(cal)
     _CACHE[key] = efree
     return efree
 

@@ -212,9 +212,10 @@ def _banded_round_kernel(t0_ref, pulse_ref,
     sliced — callers pad the extended arrays to ``w`` columns (zero
     coefficients there keep the pad exactly zero, preserving bit parity
     with the fused round) and crop columns [k, k+by) afterwards. Row DMAs
-    stay aligned as long as ``bb`` is a multiple of 8 and ``2k`` is too
-    (halo a multiple of 4) — :func:`_pick_shard_band` and the default
-    halo=16 satisfy both.
+    stay aligned as long as ``bb`` and ``k`` are both multiples of 8 (reads
+    slice at offsets tb*bb; the round-end writes slice the VMEM window at
+    row offset k) — :func:`_pick_shard_band` and the default halo=16
+    satisfy both.
     """
     tb = pl.program_id(0)
     wrows = bb + 2 * k
@@ -450,13 +451,16 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         # local_sim crops rows [0, bx) afterwards) — frees the band height
         # from divisibility so big bands can amortize halo-row compute
         bxp = -(-bx // bb) * bb
-        if not interpret and (bb % 8 != 0 or (2 * k) % 8 != 0):
-            # Mosaic DMA row slices (offsets tb*bb, sizes bb and bb+2k)
-            # must be sublane-aligned; fail clearly at the API boundary
-            # rather than deep inside kernel compilation
+        if not interpret and (bb % 8 != 0 or k % 8 != 0):
+            # Mosaic DMA row slices must be sublane-aligned: the HBM reads
+            # use offsets tb*bb and sizes bb/bb+2k, and the round-end writes
+            # slice the VMEM window at row offset k (pw.at[pl.ds(k, bb)]) —
+            # so both bb and k themselves must be multiples of 8. Fail
+            # clearly at the API boundary rather than deep inside kernel
+            # compilation.
             raise ValueError(
                 f"banded rounds on TPU need band_rows % 8 == 0 and "
-                f"halo % 4 == 0 (got band_rows={bb}, halo={k})")
+                f"halo % 8 == 0 (got band_rows={bb}, halo={k})")
         wide_t = jax.ShapeDtypeStruct((bxp, W), jnp.float32)
         # pin DMA'd operands to HBM explicitly: under ANY, Mosaic may
         # promote small buffers to VMEM, where dynamically-offset DMA
@@ -695,8 +699,8 @@ def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
     :func:`_banded_round_kernel`) — the multi-chip engine spans grids of
     any size, like the single-device ``simulate_auto``. ``band_rows``
     forces that path with an explicit band height (any positive value —
-    the interior is row-padded to a band multiple — but on TPU it must be
-    a multiple of 8 and ``halo`` a multiple of 4, for sublane-aligned DMA;
+    the interior is row-padded to a band multiple — but on TPU it and
+    ``halo`` must both be multiples of 8, for sublane-aligned DMA;
     bigger bands trade minutes of Mosaic compile time for ~15 % throughput,
     see :func:`_pick_shard_band`).
     """

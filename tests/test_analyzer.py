@@ -177,3 +177,33 @@ def test_rt60_estimator_recovers_synthetic_decay(rt60_true):
                                    np.float32(5.0), compute_directions=False)
     got = float(np.asarray(out.rt60)[5, 5])
     assert abs(got - rt60_true) <= 0.02 * rt60_true, (got, rt60_true)
+
+
+def test_free_field_fixed_domain_matches_full_grid():
+    """Grids larger than CAL_SIZE_M calibrate on the fixed small domain
+    (core/free_grid.py): the dry window closes before any boundary echo, so
+    the value must match the reference's full-grid calibration, and the
+    cache key must collapse across grid sizes (no full-grid init sims at
+    100x-grid scale)."""
+    from planeverb_tpu.core import free_grid
+
+    p25 = compute_grid_params(PlaneverbConfig(
+        grid_size_x=25.0, grid_size_y=25.0, grid_resolution=275))
+    full = free_grid._efree_on(p25)                  # legacy full-grid value
+    cal = free_grid._cal_params(p25)
+    assert (cal.grid_size_x, cal.grid_size_y) == (free_grid.CAL_SIZE_M,) * 2
+    fixed = free_grid._efree_on(cal)
+    assert fixed == pytest.approx(full, rel=1e-5)
+
+    # cache hit across grid sizes (incl. non-square)
+    free_grid.clear_cache()
+    a = free_grid.calibrate_free_field(p25)
+    p_big = compute_grid_params(PlaneverbConfig(
+        grid_size_x=30.0, grid_size_y=45.0, grid_resolution=275))
+    b = free_grid.calibrate_free_field(p_big)
+    assert a == b
+    assert len(free_grid._CACHE) == 1
+
+    # small grids keep the reference's exact full-grid behavior
+    p10 = compute_grid_params(CFG)
+    assert free_grid._cal_params(p10) is p10

@@ -82,3 +82,35 @@ def test_material_r_lookup():
     for bad in ("nan", "NaN", "inf", "-inf", "Infinity"):
         with pytest.raises(ValueError, match="unknown material"):
             material_r(bad)
+    # same contract for plain (non-string) numerics
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="finite"):
+            material_r(bad)
+
+
+def test_ir_length_scales_with_grid_diagonal():
+    """The IR law extends the reference constant (sqrt(2)*12.5/c + 0.25,
+    PvTypes.h:101 — derived from its 25 m world) by the extra half-diagonal
+    travel of larger grids, so far cells can still record their onset +
+    analysis windows. Grids <= 25 m stay bit-identical to the reference."""
+    import math
+
+    # reference parity: the 25 m workloads keep their exact step counts
+    # (BASELINE.md workload table: 435 @ 275 Hz, 1187 @ 750 Hz)
+    for res, steps in ((275, 435), (750, 1187)):
+        p = compute_grid_params(PlaneverbConfig(
+            grid_size_x=25.0, grid_size_y=25.0, grid_resolution=res))
+        assert p.response_length == steps
+    # smaller grids do NOT shrink below the reference constant
+    p10 = compute_grid_params(PlaneverbConfig(
+        grid_size_x=10.0, grid_size_y=10.0, grid_resolution=275))
+    assert p10.response_length == 435
+
+    # larger grids cover their own half-diagonal: a centered listener's
+    # farthest corner is within covered_travel_m (onset + full windows)
+    for size in (60.0, 133.3):
+        p = compute_grid_params(PlaneverbConfig(
+            grid_size_x=size, grid_size_y=size, grid_resolution=750))
+        assert p.response_length > 1187
+        half_diag = 0.5 * math.hypot(p.grid_x * p.dx, p.grid_y * p.dx)
+        assert p.covered_travel_m >= half_diag * 0.999

@@ -440,22 +440,52 @@ def test_multi_listener_mode():
 
 
 def test_multi_listener_validation():
-    import jax
-
-    from planeverb_tpu.parallel import grid_mesh
-
     ctx = pv.Context(CFG)
     with pytest.raises(ValueError, match="at least one"):
         ctx.set_listener_positions([])
     with pytest.raises(ValueError, match="triples"):
         ctx.set_listener_positions([(1.0, 2.0)])
-    mesh_ctx = pv.Context(CFG, mesh=grid_mesh(jax.devices(), (2, 4)))
-    with pytest.raises(ValueError, match="single-device"):
-        mesh_ctx.set_listener_positions([(1, 0, 1), (2, 0, 2)])
     # a single-element list is just the ordinary listener
     ctx.set_listener_positions([(4.0, 0.0, 4.0)])
     assert ctx.get_listener_position() == (4.0, 0.0, 4.0)
     assert ctx.get_listener_positions() == [(4.0, 0.0, 4.0)]
+
+
+def test_multi_listener_on_mesh():
+    """Split-screen on a mesh-sharded Context: every view rides the sharded
+    pipeline (core/context.py::_pipeline_packed_multi_sharded) and matches
+    the single-device multi-listener Context view for view."""
+    import jax
+
+    from planeverb_tpu.parallel import grid_mesh
+
+    positions = [(3.0, 0.0, 3.0), (7.0, 0.0, 6.0)]
+    mesh_ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                          mesh=grid_mesh(jax.devices(), (2, 4)))
+    ref_ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"))
+    for c in (mesh_ctx, ref_ctx):
+        c.set_listener_positions(positions)
+        c.step()
+    for i in range(2):
+        a = mesh_ctx.result_at(6.0, 5.0, listener=i)
+        b = ref_ctx.result_at(6.0, 5.0, listener=i)
+        assert a.valid and b.valid
+        assert a.occlusion == pytest.approx(b.occlusion, rel=1e-5)
+        assert a.rt60 == pytest.approx(b.rt60, rel=1e-5)
+        assert a.direction.x == pytest.approx(b.direction.x, abs=1e-5)
+
+    # cells publish on the mesh: same rows as the grids publish
+    cells_ctx = pv.Context(CFG, scene=pv.demo_scene("SmallRoom"),
+                           mesh=grid_mesh(jax.devices(), (2, 4)),
+                           publish="cells")
+    cells_ctx.set_listener_positions(positions)
+    cells_ctx.emissions.emit(6.0, 0.0, 5.0)
+    cells_ctx.step()
+    for i in range(2):
+        a = cells_ctx.result_at(6.0, 5.0, listener=i)
+        b = mesh_ctx.result_at(6.0, 5.0, listener=i)
+        assert a.valid and a.occlusion == pytest.approx(b.occlusion,
+                                                        rel=1e-6)
 
 
 def test_multi_listener_cells_publish():
@@ -502,3 +532,22 @@ def test_multi_listener_sync_dsp_per_view():
     assert r0[eid][0].occlusion != r1[eid][0].occlusion
     assert r0[eid][0].occlusion == ctx.get_output(eid, listener=0).occlusion
     assert r1[eid][0].occlusion == ctx.get_output(eid, listener=1).occlusion
+
+
+def test_listener_coverage_warning():
+    """A listener far enough off-center that the IR length cannot cover the
+    opposite corner triggers one loud RuntimeWarning
+    (Context._warn_if_uncovered); centered listeners stay silent."""
+    import warnings
+
+    cfg = pv.PlaneverbConfig(grid_size_x=40.0, grid_size_y=40.0,
+                             grid_resolution=275)
+    ctx = pv.Context(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")        # centered: no warning
+        ctx.set_listener_position(20.0, 0.0, 20.0)
+    with pytest.warns(RuntimeWarning, match="covers"):
+        ctx.set_listener_position(1.0, 0.0, 1.0)
+    with warnings.catch_warnings():           # warned once, then quiet
+        warnings.simplefilter("error")
+        ctx.set_listener_position(0.5, 0.0, 0.5)

@@ -121,3 +121,28 @@ def test_reflecting_boundary_conserves_energy():
     e_r = float(np.sum(np.asarray(res_r.pressure)[tail] ** 2))
     e_a = float(np.sum(np.asarray(res_a.pressure)[tail] ** 2))
     assert e_r > 10.0 * e_a, (e_r, e_a)
+
+
+def test_far_corner_onset_on_large_grid():
+    """The diagonal-scaled IR law (config.py::compute_grid_params) must give
+    far cells of a large grid a finite onset. This exact case silently
+    published never-found sentinels under the reference's fixed
+    sqrt(2)*12.5/c + 0.25 s constant (PvTypes.h:101): an 80 m grid with an
+    off-center listener puts the far corner ~107 m away, beyond the old
+    435-step (~103 m) onset coverage at 275 Hz."""
+    from planeverb_tpu.config import gaussian_pulse
+
+    cfg = PlaneverbConfig(grid_size_x=80.0, grid_size_y=80.0,
+                          grid_resolution=275)
+    p = compute_grid_params(cfg)
+    assert p.response_length > 435            # the law actually extended T
+    beta, refl = voxelize.voxelize_np(p, [])
+    pulse = gaussian_pulse(p)
+    lx, ly = p.world_to_cell(2.0, 2.0)
+    res = fdtd.simulate(p, beta, refl, pulse, lx, ly)
+    far = np.asarray(res.onset)[p.grid_x - 2, p.grid_y - 2]
+    dist_m = np.hypot((p.grid_x - 2 - lx) * p.dx, (p.grid_y - 2 - ly) * p.dx)
+    assert dist_m > 435 * p.dt * CONSTANTS.c  # old law could not cover it
+    assert np.isfinite(far), (far, dist_m)
+    # and the onset lands near the physical travel time
+    assert far * p.dt == pytest.approx(dist_m / CONSTANTS.c, rel=0.1)
