@@ -212,9 +212,12 @@ def main() -> None:
 
     def _tiled_xl():
         # the README 1018x1018 point as a recorded artifact: ~133 m extent
-        # at 750 Hz, T clamped to the headline workload's 1187 steps
-        # (4.9 GB f32 recording; full-T would be 8.6 GB of a 16 GB chip)
-        return _tiled(133.3, 1187, reps=2, chain=4)
+        # at 750 Hz at its NATURAL response length — the diagonal-scaled IR
+        # law (config.py::compute_grid_params) gives T≈2065 so the grid
+        # covers its own half-diagonal (r01-r03 clamped T to 1187, which
+        # silently left cells beyond ~103 m of travel onset-less);
+        # recording ≈ 8.6 GB f32 of the 16 GB chip
+        return _tiled(133.3, None, reps=2, chain=4)
 
     # --- pure device throughput: K data-dependent sim passes inside ONE
     # XLA program (one dispatch, one fetch) — no tunnel dispatch in the

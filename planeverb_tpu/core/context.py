@@ -149,13 +149,25 @@ def _pipeline_packed_multi(params, beta, refl, pulse, cells, efree, lpos,
 
     Split-screen / multiplayer on the engine's product surface (the
     ops/batch.py listeners axis, SURVEY.md §2 DP row; the reference is
-    strictly one listener per context, PvContext.cpp:63-94): a sequential
-    ``lax.map`` over the fused pipeline — Pallas kernels don't vmap, and
-    the map reuses one compiled kernel — packing all B parameter grids
-    into ONE fetched array. The per-listener [T, nx, ny] recordings are
-    dropped per iteration (B of them would multiply the recording memory;
-    ``get_impulse_response`` stays single-listener).
+    strictly one listener per context, PvContext.cpp:63-94). On the TPU
+    fused-kernel path the B listeners run DATA-PARALLEL inside the batched
+    Pallas kernel (ops/fdtd_pallas.py::pipeline_auto_batch — one geometry/
+    coefficient load shared by all B, bit-identical to B separate passes);
+    elsewhere a sequential ``lax.map`` over the full pipeline. Either way
+    all B parameter grids pack into ONE fetched array. The per-listener
+    [T, nx, ny] recordings are dropped per iteration (B of them would
+    multiply the recording memory; ``get_impulse_response`` stays
+    single-listener).
     """
+    from planeverb_tpu.ops.fdtd_pallas import fits_vmem, pipeline_auto_batch
+
+    if jax.devices()[0].platform == "tpu" and fits_vmem(
+            params, state_dtype=state_dtype):
+        out = pipeline_auto_batch(
+            params, beta, refl, pulse, cells, efree, lpos,
+            compute_directions=compute_directions, state_dtype=state_dtype)
+        return _pack(out)        # _pack maps over the leading [B] axis
+
     def one(args):
         cix, ciy, lx, lz = args
         _, out = pipeline_auto(params, beta, refl, pulse, cix, ciy, efree,

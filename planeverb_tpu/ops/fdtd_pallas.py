@@ -41,7 +41,8 @@ from planeverb_tpu.ops.fdtd import FdtdResult, admittance
 from planeverb_tpu.ops import fdtd as fdtd_scan
 
 __all__ = ["simulate_pallas", "simulate_moments_pallas", "simulate_auto",
-           "pipeline_auto", "pad_tile"]
+           "pipeline_auto", "pad_tile", "simulate_moments_pallas_batch",
+           "pipeline_auto_batch"]
 
 _SUBLANE = 8
 _LANE = 128
@@ -57,15 +58,25 @@ def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
             ed_ref, ew_ref, et_ref,
             p_ref, vx_ref, vy_ref,
             *, courant, thr, src_dir_n, npx, npy,
-            chunk, t_real, dry_n, wet_n, state_dtype=jnp.float32):
+            chunk, t_real, dry_n, wet_n, state_dtype=jnp.float32,
+            batched=False):
     """``state_dtype=jnp.bfloat16`` is the opt-in half-precision wave-state
     mode: p/vx/vy, the stencil coefficients, and the recording all carry
     bf16 (half the vregs per array, half the recording HBM traffic), while
     every accumulator that sums across timesteps (onset, flux, windowed
     energies) stays f32 — 1187-term bf16 sums would lose ~3 digits. Gated
     by parameter-level golden tolerances, not bit parity
-    (tests/test_fdtd_pallas.py::test_bf16_*)."""
-    c = pl.program_id(0)
+    (tests/test_fdtd_pallas.py::test_bf16_*).
+
+    ``batched=True`` runs under a (B, n_chunks) grid — the multi-listener
+    data-parallel mode (_simulate_impl_batch): program_id(0) is the
+    listener, the chunk index moves to program_id(1), and the BlockSpecs
+    route per-listener scal/recording/accumulator blocks while beta and the
+    six stencil coefficients keep constant index maps (loaded into VMEM
+    once, shared by all B listeners — they are listener-invariant). The
+    kernel body itself is identical per listener, so batched results are
+    bit-identical to B single-listener passes."""
+    c = pl.program_id(1) if batched else pl.program_id(0)
 
     @pl.when(c == 0)
     def _init():
@@ -92,8 +103,11 @@ def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
     d_y = dy_ref[:]
     gi = jax.lax.broadcasted_iota(jnp.int32, (npx, npy), 0)
     gj = jax.lax.broadcasted_iota(jnp.int32, (npx, npy), 1)
-    lix = scal_ref[0, 0]
-    liy = scal_ref[0, 1]
+    # batched mode passes the whole [B, 2] listener table in SMEM (blocks
+    # must span SMEM arrays) and indexes it by the listener grid axis
+    row = pl.program_id(0) if batched else 0
+    lix = scal_ref[row, 0]
+    liy = scal_ref[row, 1]
     src = ((gi == lix) & (gj == liy)).astype(state_dtype)
     zrow = jnp.zeros((1, npy), state_dtype)
     zcol = jnp.zeros((npx, 1), state_dtype)
@@ -169,15 +183,18 @@ def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
 
 def _moments_kernel(onset_ref, pres_ref, s0_ref, s1_ref,
                     edc_ref,
-                    *, chunk, t_real, dry_n, schro_off, npx, npy, n_chunks):
+                    *, chunk, t_real, dry_n, schro_off, npx, npy, n_chunks,
+                    batched=False):
     """Backward pass over the recording: suffix EDC + RT60 regression moments.
 
     The grid iterates time chunks in REVERSE (via the pressure index map),
     and samples within each chunk run newest-to-oldest, reproducing the
     reference's backward Schroeder integration order (Analyzer.cpp:250-327)
     — the numerically stable direction (see ops/analyzer.py note).
+    ``batched=True``: (B, n_chunks) grid, per-listener blocks routed by the
+    BlockSpecs (see :func:`_kernel`).
     """
-    c = pl.program_id(0)
+    c = pl.program_id(1) if batched else pl.program_id(0)
 
     @pl.when(c == 0)
     def _init():
@@ -372,6 +389,195 @@ def simulate_moments_pallas(params: GridParams, beta, refl, pulse,
     )(res.onset, rec_padded)
 
     return res, Moments(e_dry=ed, e_wet=ew, e_total=et, s0=s0, s1=s1)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk",
+                                             "state_dtype"))
+def _simulate_impl_batch(params: GridParams, beta, refl, pulse,
+                         lcells, interpret: bool = False, chunk: int = 16,
+                         state_dtype=jnp.float32):
+    """B listeners in ONE fused kernel launch — the data-parallel
+    split-screen mode (VERDICT r3 item 1).
+
+    ``lcells`` is [B, 2] int32 listener cells. The Pallas grid is
+    (B, T_pad//chunk): the geometry fields and stencil coefficients are
+    folded ONCE and keep constant index maps (VMEM-resident across all B
+    listeners), while the per-listener recording/accumulator blocks are
+    routed by BlockSpec index maps over flat [B*npx, npy] outputs (flat so
+    the kernel body sees the exact single-listener block shapes — results
+    are bit-identical to B separate passes, pinned by
+    tests/test_fdtd_pallas.py::test_batched_kernel_parity). vs the previous
+    ``lax.map`` of B full pipelines this saves B-1 coefficient folds, B-1
+    kernel launches and the per-listener XLA glue.
+
+    Returns (rec [B*T_pad, npx, npy], onset, fx, fy, ed, ew, et — each
+    flat [B*npx, npy]).
+    """
+    nx, ny = params.nx, params.ny
+    npx = pad_tile(nx, _SUBLANE)
+    npy = pad_tile(ny, _LANE)
+    T = params.response_length
+    T_pad = pad_tile(T, chunk)
+    B = lcells.shape[0]
+    n_chunks = T_pad // chunk
+
+    beta_p = jnp.zeros((npx, npy), jnp.float32).at[:nx, :ny].set(beta)
+    refl_p = jnp.zeros((npx, npy), jnp.float32).at[:nx, :ny].set(refl)
+    Y = admittance(refl_p)
+    a_x, b_x, d_x, a_y, b_y, d_y = fdtd_scan.coefficients_from_fields(
+        beta_p, Y, params.grid_x, params.grid_y,
+        params.boundary_type == BoundaryType.ABSORBING)
+    beta_p, a_x, b_x, d_x, a_y, b_y, d_y = (
+        arr.astype(state_dtype)
+        for arr in (beta_p, a_x, b_x, d_x, a_y, b_y, d_y))
+
+    scal = lcells.astype(jnp.int32)                          # [B, 2]
+    pulse2 = jnp.zeros((T_pad, 1), jnp.float32).at[:T, 0].set(
+        pulse.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _kernel,
+        courant=float(params.courant),
+        thr=float(params.constants.audible_threshold_gain),
+        src_dir_n=float(params.source_dir_samples),
+        npx=npx, npy=npy, chunk=chunk, t_real=T,
+        dry_n=params.dry_gain_samples, wet_n=params.wet_gain_samples,
+        state_dtype=state_dtype, batched=True)
+
+    field = pl.BlockSpec((npx, npy), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM)
+    cellblk = pl.BlockSpec((npx, npy), lambda b, c: (b, 0),
+                           memory_space=pltpu.VMEM)
+    cell = jax.ShapeDtypeStruct((B * npx, npy), jnp.float32)
+
+    rec, onset, fx, fy, ed, ew, et = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((B, 2), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            field, field, field, field, field, field, field,
+            pl.BlockSpec((T_pad, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, npx, npy),
+                         lambda b, c: (b * n_chunks + c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cellblk, cellblk, cellblk, cellblk, cellblk, cellblk,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * T_pad, npx, npy), state_dtype),
+            cell, cell, cell, cell, cell, cell,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((npx, npy), state_dtype),
+            pltpu.VMEM((npx, npy), state_dtype),
+            pltpu.VMEM((npx, npy), state_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * npx * npy * 40,
+            bytes_accessed=B * T * npx * npy * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, beta_p, a_x, b_x, d_x, a_y, b_y, d_y, pulse2)
+    return rec, onset, fx, fy, ed, ew, et
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk",
+                                             "state_dtype"))
+def simulate_moments_pallas_batch(params: GridParams, beta, refl, pulse,
+                                  lcells, interpret: bool = False,
+                                  chunk: int = 16,
+                                  state_dtype=jnp.float32):
+    """Batched sim + analyzer moments for B listeners in two kernel
+    launches total (see :func:`_simulate_impl_batch`).
+
+    Returns ((onset, fx, fy) each [B, npx, npy], analyzer.Moments with
+    [B, npx, npy] grids). The per-listener recordings are internal (the
+    backward RT60 pass consumes them); the multi-listener engine mode drops
+    them by design (core/context.py::_step_multi).
+    """
+    from planeverb_tpu.ops.analyzer import Moments
+
+    rec, onset, fx, fy, ed, ew, et = _simulate_impl_batch(
+        params, beta, refl, pulse, lcells, interpret=interpret, chunk=chunk,
+        state_dtype=state_dtype)
+    nx, ny = params.nx, params.ny
+    npx = pad_tile(nx, _SUBLANE)
+    npy = pad_tile(ny, _LANE)
+    T = params.response_length
+    B = lcells.shape[0]
+    T_pad = rec.shape[0] // B
+    n_chunks = T_pad // chunk
+
+    kernel = functools.partial(
+        _moments_kernel,
+        chunk=chunk, t_real=T, dry_n=params.dry_gain_samples,
+        schro_off=params.schroeder_offset_samples,
+        npx=npx, npy=npy, n_chunks=n_chunks, batched=True)
+
+    cellblk = pl.BlockSpec((npx, npy), lambda b, c: (b, 0),
+                           memory_space=pltpu.VMEM)
+    cell = jax.ShapeDtypeStruct((B * npx, npy), jnp.float32)
+    s0, s1 = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            cellblk,
+            pl.BlockSpec((chunk, npx, npy),
+                         lambda b, c: (b * n_chunks + (n_chunks - 1 - c),
+                                       0, 0),              # reverse time
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[cellblk, cellblk],
+        out_shape=[cell, cell],
+        scratch_shapes=[pltpu.VMEM((npx, npy), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * npx * npy * 8,
+            bytes_accessed=B * T * npx * npy * 4,
+            transcendentals=B * T * npx * npy,
+        ),
+        interpret=interpret,
+    )(onset, rec)
+
+    def rs(a):
+        return a.reshape(B, npx, npy)
+
+    return ((rs(onset), rs(fx), rs(fy)),
+            Moments(e_dry=rs(ed), e_wet=rs(ew), e_total=rs(et),
+                    s0=rs(s0), s1=rs(s1)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "compute_directions",
+                                    "state_dtype", "interpret"))
+def pipeline_auto_batch(params: GridParams, beta, refl, pulse, lcells,
+                        efree, lpos, compute_directions: bool = True,
+                        state_dtype=jnp.float32, interpret: bool = False):
+    """Full B-listener pass: batched fused kernel + vmapped assembly.
+
+    The sim and moments run data-parallel in the batched kernels (ONE
+    coefficient fold and geometry load for all listeners); the per-cell
+    parameter assembly and DOA pass vmap over the listener axis (pure jnp).
+    Returns AnalyzerResults with a leading [B] axis on every grid. Requires
+    the fused kernel path (fits_vmem); callers fall back to the lax.map of
+    full pipelines otherwise (core/context.py::_pipeline_packed_multi).
+    """
+    from planeverb_tpu.ops import analyzer
+
+    (onset, fx, fy), moments = simulate_moments_pallas_batch(
+        params, beta, refl, pulse, lcells, interpret=interpret,
+        state_dtype=state_dtype)
+
+    def assemble(mom, onset_b, fx_b, fy_b, lx, lz):
+        return analyzer.analyze_moments(
+            params, mom, onset_b, fx_b, fy_b, efree, lx, lz,
+            compute_directions=compute_directions)
+
+    return jax.vmap(assemble)(moments, onset, fx, fy,
+                              lpos[:, 0], lpos[:, 1])
 
 
 _VMEM_BUDGET_BYTES = 12 << 20  # leave headroom below the ~16 MB/core VMEM

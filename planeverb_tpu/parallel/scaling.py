@@ -20,7 +20,106 @@ import numpy as np
 
 from planeverb_tpu.utils.profiling import time_chained
 
-__all__ = ["measure_scaling"]
+__all__ = ["measure_scaling", "projected_efficiency"]
+
+# ---------------------------------------------------------------------------
+# Projected multi-chip efficiency model (BASELINE.md "Projected scaling").
+#
+# One chip cannot measure a pod, but every input of the round structure is
+# measurable on one chip + public interconnect specs:
+#   - compute: the sharded round kernel's measured EXTENDED-cell rate
+#     (ghost rows included), calibrated so the model reproduces the 1x1
+#     measured wall exactly;
+#   - communication: per round each shard ppermutes 3 field slabs
+#     (p/vx/vy) of halo x edge x 4 B per mesh axis, riding ICI inside a
+#     host and DCN across hosts (the collective structure the 8-device
+#     dryrun validates).
+# Constants (stated assumptions, not measurements):
+V5E_ICI_GBPS = 45.0    # ~usable GB/s per ICI link direction (v5e: 4 links,
+                       # 1600 Gbps aggregate public spec)
+V5E_DCN_GBPS = 25.0    # 200 Gbps host NIC, per direction
+ICI_LATENCY_S = 2e-6   # ppermute slab launch + hop
+DCN_LATENCY_S = 10e-6  # host-boundary RTT component
+_EXCHANGED_FIELDS = 3  # p, vx, vy (parallel/solver.py::_exchange_halo)
+
+
+def projected_efficiency(grid_x: int, grid_y: int, device_counts,
+                         rate_ext_cups: float, halos=(8, 16, 32),
+                         chips_per_host: int = 8) -> list[dict]:
+    """Model halo-exchange strong-scaling efficiency for an N-chip mesh.
+
+    ``rate_ext_cups``: measured extended-cell updates/s of the sharded
+    round kernel on ONE chip — ``ext_cells * T / wall`` from the
+    ``sharded_pallas_1x1`` bench row, where ``ext_cells`` counts the
+    (block + 2*halo)^2 cells the kernel actually updates. Using the
+    extended rate makes the model charge the ghost-compute overhead of
+    small shards explicitly (the dominant cost at high N).
+
+    Per device count the model searches mesh factorizations and halo
+    periods and reports the best:
+
+      t_round(N, mx, my, k) = ext_cells/chip * k / rate
+                              + sum over axes of slab/BW + latency
+      efficiency(N) = t_round(1) / (N * t_round(N))   [same k as N's best]
+
+    Communication charges DCN (bandwidth + latency) on axes that cross a
+    host boundary (mesh axes are host-major), ICI otherwise; no
+    compute/comm overlap is assumed (conservative). Returns one row per N.
+    """
+    def factorizations(n):
+        out = []
+        f = 1
+        while f * f <= n:
+            if n % f == 0:
+                out += [(f, n // f), (n // f, f)]
+            f += 1
+        return sorted(set(out))
+
+    def t_round(n, mx, my, k):
+        bx = -(-grid_x // mx)
+        by = -(-grid_y // my)
+        if k > bx or k > by:
+            return None, None
+        ext = (bx + 2 * k) * (by + 2 * k)
+        t_comp = ext * k / rate_ext_cups
+        t_comm = 0.0
+        # device order is x-major (device = x*my + y), hosts own contiguous
+        # device ranges: y-neighbor pairs straddle a host boundary once my
+        # exceeds a host, x-neighbor pairs once the x rows per host run out.
+        # Only boundary chips pay DCN, but the stencil is synchronous, so a
+        # crossing axis charges the whole round the DCN cost (max over chips).
+        y_cross = my > chips_per_host
+        x_cross = mx > max(1, chips_per_host // min(my, chips_per_host))
+        for axis_n, edge, cross in ((mx, by, x_cross), (my, bx, y_cross)):
+            if axis_n == 1:
+                continue
+            slab = _EXCHANGED_FIELDS * k * edge * 4
+            bw = (V5E_DCN_GBPS if cross else V5E_ICI_GBPS) * 1e9
+            lat = DCN_LATENCY_S if cross else ICI_LATENCY_S
+            t_comm += slab / bw + lat
+        return t_comp, t_comm
+
+    rows = []
+    for n in device_counts:
+        best = None
+        for mx, my in factorizations(n):
+            for k in halos:
+                tc, tx = t_round(n, mx, my, k)
+                if tc is None:
+                    continue
+                t1c, _ = t_round(1, 1, 1, k)
+                eff = t1c / (n * (tc + tx))
+                if best is None or eff > best["efficiency"]:
+                    best = {
+                        "devices": n, "mesh": [mx, my], "halo": k,
+                        "hosts": max(1, n // chips_per_host),
+                        "t_comp_round_us": round(tc * 1e6, 1),
+                        "t_comm_round_us": round(tx * 1e6, 1),
+                        "efficiency": round(eff, 3),
+                    }
+        if best is not None:
+            rows.append(best)
+    return rows
 
 
 def measure_scaling(params, beta, refl, pulse, lix, liy,

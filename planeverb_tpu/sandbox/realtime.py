@@ -22,10 +22,10 @@ real-time compliance metric a PortAudio callback would enforce by glitching.
 reference's A/B toggle. The native C++ DSP path (planeverb_tpu.native) is
 the default; ``native=False`` uses the streaming Python renderer.
 
-An audio *device* sink can be plugged in via the ``sink`` callable (e.g. a
-``sounddevice`` writer); none is assumed — this container has no output
-device, and the reference's PortAudio dependency is exactly what this
-replaces.
+An audio *device* sink plugs in via the ``sink`` callable:
+:class:`AudioDeviceSink` is the ready-made one (optional ``sounddevice`` /
+PortAudio, import-guarded — this container has no output device, but a
+desktop user hears the engine live through it).
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ import time
 
 import numpy as np
 
-__all__ = ["RealtimePlayer", "PlayoutReport"]
+__all__ = ["RealtimePlayer", "PlayoutReport", "AudioDeviceSink"]
 
 _CANONICAL_RT60S = None  # lazily imported (T_ER_1..3 from dsp.gains)
 
@@ -200,3 +200,48 @@ def _canonical_rt60s():
     from planeverb_tpu.dsp.gains import T_ER_1, T_ER_2, T_ER_3
 
     return (T_ER_1, T_ER_2, T_ER_3)
+
+
+class AudioDeviceSink:
+    """Live audio-device sink for :class:`RealtimePlayer` — the reference
+    sandbox's PortAudio output stream (AudioCore.cpp:28-42: 44.1 kHz stereo,
+    512-frame blocks) as an optional, import-guarded plug-in.
+
+    Requires the optional ``sounddevice`` package (PortAudio bindings — the
+    exact library the reference streams through). It is not bundled: this
+    container has no audio device, so construction raises a clear
+    RuntimeError here; on a desktop with ``pip install sounddevice`` this is
+    how you actually *hear* the engine::
+
+        with AudioDeviceSink(rate=44100, frames=512) as sink:
+            RealtimePlayer(ctx, eid, clip, 44100, sink=sink).run()
+    """
+
+    def __init__(self, rate: int = 44100, channels: int = 2,
+                 frames: int = 512, device=None):
+        try:
+            import sounddevice
+        except ImportError as e:
+            raise RuntimeError(
+                "AudioDeviceSink needs the optional 'sounddevice' package "
+                "(PortAudio bindings): pip install sounddevice") from e
+        self._stream = sounddevice.OutputStream(
+            samplerate=rate, channels=channels, blocksize=frames,
+            dtype="float32", device=device)
+        self._stream.start()
+
+    def __call__(self, block: np.ndarray) -> None:
+        """Per-block writer (RealtimePlayer's ``sink`` contract): blocks
+        until the device consumed the block — the device clock then paces
+        the pump exactly like the reference's blocking PortAudio write."""
+        self._stream.write(np.ascontiguousarray(block, np.float32))
+
+    def close(self) -> None:
+        self._stream.stop()
+        self._stream.close()
+
+    def __enter__(self) -> "AudioDeviceSink":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

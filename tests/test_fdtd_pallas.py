@@ -182,3 +182,66 @@ def test_bf16_f32_mode_unchanged():
     np.testing.assert_array_equal(
         np.asarray(res.pressure)[:, :p.nx, :p.ny],
         np.asarray(ref.pressure))
+
+
+def test_batched_kernel_parity():
+    """B-listener batched kernel (_simulate_impl_batch): every listener's
+    onset/flux/moments must be BIT-identical to its own single-listener
+    fused pass — the batch only shares the geometry/coefficient load."""
+    p = compute_grid_params(CFG)
+    p = dataclasses.replace(p, response_length=70)
+    beta, refl = voxelize.voxelize_np(p, demo_scene("SmallRoom").boxes)
+    pulse = oracle.gaussian_pulse(p)[:70]
+    listeners = [(5.0, 5.0), (3.0, 7.0), (8.0, 2.0)]
+    lcells = jnp.asarray(np.array([p.world_to_cell(*l) for l in listeners],
+                                  np.int32))
+
+    (onset, fx, fy), m = fdtd_pallas.simulate_moments_pallas_batch(
+        p, jnp.asarray(beta), jnp.asarray(refl), jnp.asarray(pulse),
+        lcells, interpret=True)
+    for i, (lx, lz) in enumerate(listeners):
+        cix, ciy = p.world_to_cell(lx, lz)
+        ref, mref = fdtd_pallas.simulate_moments_pallas(
+            p, jnp.asarray(beta), jnp.asarray(refl), jnp.asarray(pulse),
+            jnp.int32(cix), jnp.int32(ciy), interpret=True)
+        np.testing.assert_array_equal(np.asarray(onset[i]),
+                                      np.asarray(ref.onset))
+        np.testing.assert_array_equal(np.asarray(fx[i]),
+                                      np.asarray(ref.flux_x))
+        np.testing.assert_array_equal(np.asarray(fy[i]),
+                                      np.asarray(ref.flux_y))
+        for name in ("e_dry", "e_wet", "e_total", "s0", "s1"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(m, name)[i]),
+                np.asarray(getattr(mref, name)), err_msg=name)
+
+
+def test_pipeline_auto_batch_matches_sequential():
+    """pipeline_auto_batch (batched kernel + vmapped assembly) must match
+    per-listener pipeline_auto results — the parity the engine's
+    multi-listener mode rides on TPU (core/context.py::_pipeline_packed_multi)."""
+    p = compute_grid_params(CFG)
+    p = dataclasses.replace(p, response_length=70)
+    beta, refl = voxelize.voxelize_np(p, demo_scene("SmallRoom").boxes)
+    pulse = oracle.gaussian_pulse(p)[:70]
+    listeners = [(5.0, 5.0), (3.0, 7.0)]
+    lcells = jnp.asarray(np.array([p.world_to_cell(*l) for l in listeners],
+                                  np.int32))
+    lpos = jnp.asarray(np.array(listeners, np.float32))
+
+    out_b = fdtd_pallas.pipeline_auto_batch(
+        p, jnp.asarray(beta), jnp.asarray(refl), jnp.asarray(pulse),
+        lcells, jnp.float32(0.0288), lpos, interpret=True)
+    from planeverb_tpu.ops import analyzer
+    for i, (lx, lz) in enumerate(listeners):
+        cix, ciy = p.world_to_cell(lx, lz)
+        ref = fdtd.simulate(p, beta, refl, jnp.asarray(pulse), cix, ciy)
+        out_s = analyzer.analyze(p, ref.pressure, ref.onset, ref.flux_x,
+                                 ref.flux_y, np.float32(0.0288),
+                                 np.float32(lx), np.float32(lz))
+        for name in ("occlusion", "wet_gain", "rt60", "lowpass",
+                     "direction", "source_directivity", "delay_samples"):
+            a = np.asarray(getattr(out_b, name)[i])
+            b = np.asarray(getattr(out_s, name))
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                       err_msg=name)

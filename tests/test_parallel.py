@@ -479,3 +479,25 @@ def test_scaling_harness_pallas_backend():
     with pytest.raises(ValueError, match="solver"):
         measure_scaling(p, beta, refl, pulse, lix, liy, device_counts=[1],
                         solver="nope")
+
+
+def test_projected_efficiency_model():
+    """The projected-scaling model (parallel/scaling.py::projected_efficiency)
+    must reproduce its BASELINE.md table structure: monotone-ish decay with
+    N, >= 80% at the north-star point (2 hosts, 100x grid), DCN charged on
+    host-crossing axes only."""
+    from planeverb_tpu.parallel.scaling import projected_efficiency
+
+    # rate calibrated from the r03 sharded_pallas_1x1 artifact row (see
+    # BASELINE.md "Projected scaling"): ext 232x288 cells, T=1187, 4.48 ms
+    rate = 232 * 288 * 1187 / 4.48e-3
+    rows = projected_efficiency(1920, 1920, [1, 8, 16, 64], rate)
+    by_n = {r["devices"]: r for r in rows}
+    assert by_n[1]["efficiency"] == 1.0
+    assert by_n[16]["hosts"] == 2
+    assert by_n[16]["efficiency"] >= 0.80     # the north-star row
+    # single-host rows pay no DCN latency: comm stays in single-digit us
+    assert by_n[8]["t_comm_round_us"] < 10.0
+    # efficiency decays with N
+    effs = [by_n[n]["efficiency"] for n in (1, 8, 16, 64)]
+    assert effs == sorted(effs, reverse=True)

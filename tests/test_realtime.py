@@ -132,3 +132,19 @@ def test_python_dsp_fallback_runs(ctx):
         ctx.emissions.end(eid)
     assert float(np.abs(report.output).max()) > 0
     assert report.output.shape[0] == len(audio)
+
+
+def test_audio_device_sink_guarded():
+    """AudioDeviceSink is the optional live-output path (the reference's
+    PortAudio stream, AudioCore.cpp:28-42). Without the optional
+    `sounddevice` package it must fail loudly with install guidance, not
+    ImportError-crash at import time."""
+    import importlib.util
+
+    from planeverb_tpu.sandbox.realtime import AudioDeviceSink
+
+    if importlib.util.find_spec("sounddevice") is not None:
+        pytest.skip("sounddevice installed; device behavior not testable "
+                    "in CI (no audio hardware)")
+    with pytest.raises(RuntimeError, match="sounddevice"):
+        AudioDeviceSink(rate=44100)
