@@ -303,9 +303,11 @@ def main() -> None:
             "recording_hbm_bytes": t_pad * npx * npy * 2,
         }
 
-    # --- multi-listener engine mode: B pipelines in ONE program (one
-    # dispatch + one packed fetch, core/context.py::_pipeline_packed_multi)
-    # vs B separate dispatches — the split-screen batch axis
+    # --- multi-listener engine mode: B listeners DATA-PARALLEL inside the
+    # batched fused kernel (one geometry/coefficient load for all views,
+    # ops/fdtd_pallas.py::pipeline_auto_batch), full DOA per view, one
+    # dispatch + one packed fetch. The VERDICT r3 target:
+    # ms_per_listener <= 0.6 x pipeline_wall_s at B=4.
     def _multi_listener():
         from planeverb_tpu.core.context import _pipeline_packed_multi
 
@@ -329,8 +331,10 @@ def main() -> None:
             "wall_ms": round(t * 1e3, 2),
             "wall_ms_spread": spread_ms(s),
             "ms_per_listener": round(t * 1e3 / B, 2),
-            "note": "B full pipelines, one dispatch+fetch; compare "
-                    "pipeline_wall_s x B for the unbatched cost",
+            "vs_single_pipeline": round(t / B / t_pipeline, 2),
+            "note": "B listeners batched in the fused kernel + vmapped "
+                    "analyzer (full per-view DOA); vs_single_pipeline is "
+                    "ms_per_listener / pipeline_wall_s",
         }
 
     # --- beyond-VMEM shard through the ENGINE's sharded path: when a

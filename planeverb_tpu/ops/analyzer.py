@@ -222,9 +222,10 @@ def analyze_moments(params: GridParams, moments: Moments, onset,
 
     delay = jnp.where(found, onset, jnp.float32(jnp.finfo(jnp.float32).max))
 
-    # -- pass 2: direction via parallel delay-field descent (ops/doa.py).
-    # For very large grids Context defers this to lazy per-query host walks
-    # (doa.walk_direction) — the full-grid gather pass costs ~25 ms there.
+    # -- pass 2: direction via parallel delay-field descent (ops/doa.py,
+    # gather-free shift-select label propagation — ~0.2 ms on the headline
+    # grid, r4). For very large grids Context can still defer this to lazy
+    # per-query host walks (doa.walk_direction).
     if compute_directions:
         direction = encode_directions(params, occlusion, delay, lwx, lwy)
     else:

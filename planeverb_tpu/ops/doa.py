@@ -17,18 +17,27 @@ per-cell successor function ``g``:
 
 with terminal(c) = line-of-sight(c) ∨ delay(c) <= close-threshold ∨
 loudness(c) >= -1 dB ∨ no strictly-delay-improving neighbor. The walk's
-fixpoint from every cell simultaneously is computed by **pointer jumping**:
-squaring ``g`` log2(n) times (``g = g[g]``), turning an O(path-length)
-sequential walk into O(log n) parallel gathers. The start cell is special
-(the reference enters the loop with delay = +inf and skips the
-line-of-sight check until after the first hop), handled by a separate first
-step before jumping.
+fixpoint from every cell simultaneously is computed by **gather-free label
+propagation**: since g(c) is always one of c's 8 NEIGHBORS (or c itself),
+"pull the label from g(c)" decomposes into 8 cheap lane/sublane shifts +
+masked selects — no gather at all. Each iteration advances every cell one
+hop; iteration stops at the fixpoint (paths are short: delay strictly
+decreases per hop, and e.g. HugeRoom@750 Hz converges in 88 hops).
+
+Measured on one v5e chip (192x192 grid): a shift-select hop costs < 1 us
+(below paired-chain measurement noise) vs 250 us for one pointer-jumping
+map squaring ``g = g[g]`` (the r01-r03 design — O(log path) iterations but
+each a full [n]-element gather, ~2.2 ms total at 8 squarings). The walk's
+terminal cell index is decoded arithmetically (div/mod), so the whole pass
+is elementwise + shifts — it also vmaps cleanly over the multi-listener
+batch axis. The start cell is special (the reference enters the loop with
+delay = +inf and skips the line-of-sight check until after the first hop),
+handled by a separate shift-select step after convergence.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -111,42 +120,67 @@ def encode_directions(params: GridParams, occlusion, delay,
                  | (~has_next))
     # the reference commits nextIndex inside the scan, so a non-improving
     # best neighbor means one final hop TO that neighbor, then stop
-    # (Analyzer.cpp:375-385) — not expressible as a fixpoint of the hop map,
-    # so it is applied as a single post-jump step below
+    # (Analyzer.cpp:375-385) — folded into the walk-end label below:
+    # end(c) = nxt[c] for such cells, c otherwise
     hop_stop = (~stop_here) & has_next & (nxt_delay >= dly)
     advance = (~stop_here) & (nxt_delay < dly)
-    g = jnp.where(advance, nxt, jnp.arange(n))
 
-    # first step from the start cell: delay register is +inf, LOS unchecked
-    start_terminal = (occ >= jnp.float32(k.distance_gain_threshold)) | (~has_next)
-    s1 = jnp.where(start_terminal, jnp.arange(n), nxt)
+    # hop selector: which of the 8 neighbors the advancing hop takes
+    # (8 = hold). g(c) is always a NEIGHBOR of c, so "pull the label from
+    # g(c)" is 8 shifted selects — no gather (see module docstring).
+    adv2 = advance.reshape(gx, gy)
+    nxt2 = nxt.reshape(gx, gy)
+    sel = jnp.full((gx, gy), 8, jnp.int32)
+    for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
+        n_idx = (rr + dr) * gy + (cc + dc)
+        sel = jnp.where(adv2 & (nxt2 == n_idx), idx, sel)
 
-    # pointer jumping: g <- g∘g, then resolve starts. The walk's delay
-    # strictly decreases by >= 1 sample per hop (integer-valued onsets), so
-    # path length <= response_length; log2 of that bounds the squarings —
-    # typically ~9-11 iterations instead of log2(n_cells) ~ 16. Each
-    # squaring is a full [n] gather (the slow op on TPU), so the loop exits
-    # as soon as the map reaches its fixpoint: open scenes are mostly
-    # line-of-sight with hop-or-two paths, converging in 2-3 squarings.
+    def _pull(lab):
+        """lab at each cell's hop target: 8 shifts + masked selects."""
+        out = lab
+        for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
+            out = jnp.where(sel == idx, _shift(lab, dr, dc, 0), out)
+        return out
+
+    # walk-end label: where the walk rests once it stops at this cell
+    label0 = jnp.where(hop_stop, nxt, jnp.arange(n)).reshape(gx, gy)
+
+    # propagate labels down the delay gradient to the fixpoint. Delay
+    # strictly decreases >= 1 sample per hop (integer-valued onsets), so
+    # path length <= response_length; typical scenes converge in tens of
+    # hops (HugeRoom@750: 88). 4 hops per check amortizes the early-exit
+    # reduce; overshoot past the fixpoint is idempotent.
     path_bound = min(max(n, 2), params.response_length + 2)
-    jumps = max(1, math.ceil(math.log2(path_bound)))
+    iters = -(-path_bound // 4)
 
     def cond(state):
         i, _, changed = state
-        return (i < jumps) & changed
+        return (i < iters) & changed
 
     def body(state):
-        i, gg, _ = state
-        g2 = gg[gg]
-        return i + 1, g2, jnp.any(g2 != gg)
+        i, lab, _ = state
+        nl = _pull(_pull(_pull(_pull(lab))))
+        return i + 1, nl, jnp.any(nl != lab)
 
-    _, g, _ = jax.lax.while_loop(cond, body, (0, g, jnp.bool_(True)))
-    final = g[s1]
-    final = jnp.where(hop_stop[final], nxt[final], final)
+    _, lab, _ = jax.lax.while_loop(cond, body, (0, label0, jnp.bool_(True)))
 
-    # unit vector from final cell to listener (Analyzer.cpp:409-430)
-    fex = ex[final]
-    fey = ey[final]
+    # first step from the start cell: delay register is +inf, LOS unchecked
+    # — resolve each start through its first-hop neighbor's converged label
+    start_terminal = (occ >= jnp.float32(k.distance_gain_threshold)) | (~has_next)
+    sel_start = jnp.full((gx, gy), 8, jnp.int32)
+    st2 = (~start_terminal).reshape(gx, gy)
+    for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
+        n_idx = (rr + dr) * gy + (cc + dc)
+        sel_start = jnp.where(st2 & (nxt2 == n_idx), idx, sel_start)
+    final = lab
+    for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
+        final = jnp.where(sel_start == idx, _shift(lab, dr, dc, 0), final)
+    final = final.reshape(n)
+
+    # unit vector from final cell to listener (Analyzer.cpp:409-430);
+    # the final cell's coordinates decode arithmetically from its index
+    fex = (final // gy).astype(jnp.float32) * dx
+    fey = (final % gy).astype(jnp.float32) * dx
     ox = fex - listener_wx
     oy = fey - listener_wy
     length_sq = ox * ox + oy * oy
@@ -161,10 +195,11 @@ def walk_direction(params: GridParams, occlusion, delay, sx: int, sy: int,
 
     Semantics identical to :func:`encode_directions` (same neighbor order,
     tie-breaking, and terminal predicate), evaluated lazily for one source
-    cell. For large grids the full-grid pointer-jumping pass costs ~25 ms of
-    TPU gathers per update, while a game queries only a handful of emitter
-    cells — so Context switches to per-query host walks there (microseconds
-    each on the small [gx, gy] parameter grids).
+    cell. The full-grid device pass is cheap since the gather-free rewrite
+    (~0.2 ms on the 192x192 headline grid), but its shift cost scales with
+    grid area x path length, while a game queries only a handful of emitter
+    cells — so Context still switches to per-query host walks on very large
+    grids (microseconds each on the small [gx, gy] parameter grids).
 
     Args:
       occlusion, delay: [gx, gy] numpy arrays (pass-1 outputs).
