@@ -269,11 +269,14 @@ def main() -> None:
             "gcups": round(cell_updates / t / 1e9, 2),
         }
 
-    # --- opt-in bf16 wave-state mode (reported separately from the f32
-    # headline; parameters golden-gated within ~2%, see
-    # tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters)
+    # --- opt-in bf16 wave-state mode: a VMEM-CAPACITY mode, not a speed
+    # mode — the device scan row documents the measured ~1.5x regression
+    # vs f32 (per-step f32 accumulator converts; BASELINE.md r4 ablation).
+    # Parameters stay golden-gated within ~2%
+    # (tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters).
     def _bf16_mode():
-        from planeverb_tpu.ops.fdtd_pallas import simulate_pallas
+        from planeverb_tpu.ops.fdtd_pallas import (simulate_moments_pallas,
+                                                   simulate_pallas)
 
         def sim16(eps):
             res = simulate_pallas(params, beta, refl, pulse * (1.0 + eps),
@@ -282,6 +285,38 @@ def main() -> None:
 
         float(np.asarray(sim16(0.0)))
         s = time_chained_stats(sim16, reps=5)
+
+        # pure device time (same methodology as device_throughput) so the
+        # artifact reconciles dispatch-inclusive and device-only walls
+        def one16(carry, _):
+            res, mom = simulate_moments_pallas(
+                params, beta, refl, pulse * (1.0 + carry), lix, liy,
+                state_dtype=jnp.bfloat16)
+            return mom.e_total[5, 5] * 1e-6 + carry * 1e-3, None
+
+        def k16(k):
+            @jax.jit
+            def prog(eps):
+                final, _ = jax.lax.scan(one16, eps, None, length=k)
+                return final
+
+            return prog
+
+        short, long_ = k16(2), k16(22)
+        float(np.asarray(short(jnp.float32(1e-3))))
+        float(np.asarray(long_(jnp.float32(1e-3))))
+        slopes = []
+        for rep in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(short(jnp.float32(1e-3 * (rep + 1) + 7e-5))))
+            t_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(np.asarray(long_(jnp.float32(1e-3 * (rep + 1) + 1e-5))))
+            t_l = time.perf_counter() - t0
+            slope = (t_l - t_s) / 20.0
+            mean_long = t_l / 22.0
+            slopes.append(slope if 0.0 < slope <= mean_long else mean_long)
+        t_dev = float(np.median(slopes))
 
         @jax.jit
         def pipe16(eps):
@@ -298,9 +333,16 @@ def main() -> None:
             "sim_wall_ms": round(s["median_s"] * 1e3, 2),
             "sim_wall_ms_spread": spread_ms(s),
             "sim_gcups": round(cell_updates / s["median_s"] / 1e9, 2),
+            "device_scan_ms": round(t_dev * 1e3, 3),
+            "device_scan_ms_spread": [round(v * 1e3, 3)
+                                      for v in (min(slopes), t_dev,
+                                                max(slopes))],
             "pipeline_wall_ms": round(sp["median_s"] * 1e3, 2),
             "pipeline_wall_ms_spread": spread_ms(sp),
             "recording_hbm_bytes": t_pad * npx * npy * 2,
+            "note": "VMEM-capacity mode: device_scan_ms vs the f32 "
+                    "device_throughput row documents the measured "
+                    "regression (f32 accumulator converts)",
         }
 
     # --- multi-listener engine mode: B listeners DATA-PARALLEL inside the

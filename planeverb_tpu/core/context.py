@@ -304,12 +304,15 @@ class Context:
         that fits the per-shard block, capped at 16).
 
         ``precision="bf16"`` opts the fused TPU kernel into half-precision
-        wave state (ops/fdtd_pallas.py state_dtype): acoustic parameters
-        stay within ~2% of the f32 engine (pinned by
-        tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters)
-        and the per-pass recording writeback halves. Single-device TPU
-        path only; the CPU fallback and the sharded pipeline are the f32
-        parity references.
+        wave state (ops/fdtd_pallas.py state_dtype) — a VMEM-capacity
+        mode: state/coefficient/recording footprints halve (larger grids
+        stay on the fused fast path), acoustic parameters stay within ~2%
+        of the f32 engine (pinned by
+        tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters),
+        but the kernel measures ~1.5x SLOWER than f32 on device (the
+        per-step f32 accumulator converts; BASELINE.md r4 ablation) — use
+        it for fit, not speed. Single-device TPU path only; the CPU
+        fallback and the sharded pipeline are the f32 parity references.
         """
         config.validate()
         self.config = config

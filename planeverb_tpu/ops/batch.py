@@ -42,35 +42,24 @@ def simulate_listeners(params: GridParams, beta, refl, pulse,
     return jax.vmap(sim)(listener_ix, listener_iy)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _listeners_pallas(params: GridParams, beta, refl, pulse,
-                      listener_ix, listener_iy) -> fdtd.FdtdResult:
-    # module-level jit: the trace cache persists across calls (a per-call
-    # closure would retrace + recompile the Pallas kernel every invocation)
-    from planeverb_tpu.ops.fdtd_pallas import simulate_pallas
-
-    return jax.lax.map(
-        lambda ixy: simulate_pallas(params, beta, refl, pulse,
-                                    ixy[0], ixy[1]),
-        jnp.stack([listener_ix, listener_iy], axis=1))
-
-
 def simulate_listeners_auto(params: GridParams, beta, refl, pulse,
                             listener_ix, listener_iy) -> fdtd.FdtdResult:
     """Batched listeners on the fastest per-platform path.
 
     On TPU the vmapped lax.scan solver re-pays its per-step dispatch cost,
-    so the batch runs as a sequence of fused VMEM-resident kernels
-    (lax.map) instead; elsewhere vmap-of-scan batches best. Per-listener
-    values match simulate_listeners bit-for-bit; on the TPU path the
-    spatial dims come back tile-padded (crop to params.nx/ny, or pass
-    straight to the analyzer, which only reads the real corner).
+    so the batch runs DATA-PARALLEL in the batched fused kernel
+    (ops/fdtd_pallas.py::simulate_pallas_batch — one geometry/coefficient
+    load shared by all B listeners); elsewhere vmap-of-scan batches best.
+    Per-listener values match simulate_listeners bit-for-bit; on the TPU
+    path the spatial dims come back tile-padded (crop to params.nx/ny, or
+    pass straight to the analyzer, which only reads the real corner).
     """
-    from planeverb_tpu.ops.fdtd_pallas import fits_vmem
+    from planeverb_tpu.ops.fdtd_pallas import fits_vmem, simulate_pallas_batch
 
     if jax.devices()[0].platform == "tpu" and fits_vmem(params):
-        return _listeners_pallas(params, beta, refl, pulse,
-                                 listener_ix, listener_iy)
+        return simulate_pallas_batch(
+            params, beta, refl, pulse,
+            jnp.stack([listener_ix, listener_iy], axis=1))
     return simulate_listeners(params, beta, refl, pulse,
                               listener_ix, listener_iy)
 

@@ -52,6 +52,20 @@ def pad_tile(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _steps_per_body(chunk: int, want: int = 4) -> int:
+    """Timestep-loop unroll factor: largest divisor of ``chunk`` <= want.
+
+    Unrolling several steps per fori body keeps the carry arrays in vector
+    registers across the group instead of spilling to VMEM at every body
+    boundary (see the note in :func:`_kernel`); results are bit-identical
+    (same ops, same order — pinned by the interpret-mode parity tests and
+    verified bit-equal on v5e)."""
+    spb = min(want, chunk)
+    while chunk % spb != 0:
+        spb -= 1
+    return spb
+
+
 def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
             ay_ref, by_ref, dy_ref,
             pulse_ref, rec_ref, onset_ref, fx_ref, fy_ref,
@@ -168,8 +182,21 @@ def _kernel(scal_ref, beta_ref, ax_ref, bx_ref, dx_ref,
     carry = (p_ref[:], vx_ref[:], vy_ref[:],
              onset_ref[:], fx_ref[:], fy_ref[:],
              ed_ref[:], ew_ref[:], et_ref[:])
+    # several timesteps per fori body: the 9 carry arrays far exceed the
+    # vector register file, so every loop-body boundary spills/reloads all
+    # of them through VMEM; unrolling steps inside one body lets Mosaic
+    # keep p/vx/vy and the accumulators in registers across the group.
+    # Measured r4 (192x192@750, controlled ablation, bit-identical): 1
+    # step/body 31.4 G, 2/body 46.7 G, 4/body 54.6 G cell-updates/s.
+    spb = _steps_per_body(chunk)
+
+    def multi_step(j, carry):
+        for u in range(spb):
+            carry = one_step(j * spb + u, carry)
+        return carry
+
     (p, vx, vy, onset, fx, fy, ed, ew, et) = jax.lax.fori_loop(
-        0, chunk, one_step, carry)
+        0, chunk // spb, multi_step, carry)
     p_ref[:] = p
     vx_ref[:] = vx
     vy_ref[:] = vy
@@ -222,8 +249,16 @@ def _moments_kernel(onset_ref, pres_ref, s0_ref, s1_ref,
         s1 = s1 + m * (tf - start) * y
         return edc, s0, s1
 
+    # same register-reuse unroll as the sim kernel (see _steps_per_body)
+    spb = _steps_per_body(chunk)
+
+    def multi(j, carry):
+        for u in range(spb):
+            carry = body(j * spb + u, carry)
+        return carry
+
     edc, s0, s1 = jax.lax.fori_loop(
-        0, chunk, body, (edc_ref[:], s0_ref[:], s1_ref[:]))
+        0, chunk // spb, multi, (edc_ref[:], s0_ref[:], s1_ref[:]))
     edc_ref[:] = edc
     s0_ref[:] = s0
     s1_ref[:] = s1
@@ -483,6 +518,30 @@ def _simulate_impl_batch(params: GridParams, beta, refl, pulse,
         interpret=interpret,
     )(scal, beta_p, a_x, b_x, d_x, a_y, b_y, d_y, pulse2)
     return rec, onset, fx, fy, ed, ew, et
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk",
+                                             "state_dtype"))
+def simulate_pallas_batch(params: GridParams, beta, refl, pulse, lcells,
+                          interpret: bool = False, chunk: int = 16,
+                          state_dtype=jnp.float32) -> FdtdResult:
+    """B-listener batched sim (see :func:`_simulate_impl_batch`): returns
+    an FdtdResult with a leading [B] axis on every field (pressure
+    [B, T, npx, npy]); per-listener values are bit-identical to
+    :func:`simulate_pallas`."""
+    rec, onset, fx, fy, _, _, _ = _simulate_impl_batch(
+        params, beta, refl, pulse, lcells, interpret=interpret, chunk=chunk,
+        state_dtype=state_dtype)
+    B = lcells.shape[0]
+    npx, npy = onset.shape[0] // B, onset.shape[1]
+    T = params.response_length
+
+    def rs(a):
+        return a.reshape(B, npx, npy)
+
+    pressure = rec.reshape(B, -1, npx, npy)[:, :T]
+    return FdtdResult(pressure=pressure, onset=rs(onset),
+                      flux_x=rs(fx), flux_y=rs(fy))
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk",

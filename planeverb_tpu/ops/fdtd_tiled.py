@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from planeverb_tpu.config import BoundaryType, GridParams
 from planeverb_tpu.ops.fdtd import (FdtdResult, admittance,
                                     stencil_coefficients)
-from planeverb_tpu.ops.fdtd_pallas import pad_tile, _LANE, _SUBLANE
+from planeverb_tpu.ops.fdtd_pallas import (pad_tile, _LANE, _SUBLANE,
+                                           _steps_per_body)
 
 __all__ = ["simulate_tiled", "simulate_moments_tiled"]
 
@@ -192,8 +193,16 @@ def _tiled_kernel(scal_ref, pulse_ref, beta_hbm, y_hbm,
 
         state = (pw[:], vxw[:], vyw[:], onset_t[:], fx_t[:], fy_t[:],
                  ed_t[:], ew_t[:], et_t[:])
+        # register-reuse unroll (ops/fdtd_pallas.py::_steps_per_body)
+        spb = _steps_per_body(k)
+
+        def multi_step(j, carry):
+            for u in range(spb):
+                carry = one_step(j * spb + u, carry)
+            return carry
+
         p, vx, vy, onset, fx, fy, ed, ew, et = jax.lax.fori_loop(
-            0, k, one_step, state)
+            0, k // spb, multi_step, state)
 
         # ---- stage results and DMA out (interior rows only for state)
         pw[:] = p
@@ -415,8 +424,16 @@ def _tiled_moments_kernel(onset_hbm, rec_hbm,
             s1 = s1 + m * (tf - start) * y
             return edc, s0, s1
 
+        # register-reuse unroll (ops/fdtd_pallas.py::_steps_per_body)
+        spb_m = _steps_per_body(k)
+
+        def multi(j, carry):
+            for u in range(spb_m):
+                carry = step(j * spb_m + u, carry)
+            return carry
+
         edc, s0, s1 = jax.lax.fori_loop(
-            0, k, step, (edc_t[:], s0_t[:], s1_t[:]))
+            0, k // spb_m, multi, (edc_t[:], s0_t[:], s1_t[:]))
         edc_t[:] = edc
         s0_t[:] = s0
         s1_t[:] = s1

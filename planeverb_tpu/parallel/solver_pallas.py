@@ -53,7 +53,7 @@ from planeverb_tpu.config import BoundaryType, GridParams
 from planeverb_tpu.ops.fdtd import (FdtdResult, admittance,
                                     stencil_coefficients)
 from planeverb_tpu.ops.fdtd_pallas import (_VMEM_BUDGET_BYTES,
-                                           _moments_kernel)
+                                           _moments_kernel, _steps_per_body)
 from planeverb_tpu.ops.fdtd_tiled import _tiled_moments_kernel
 from planeverb_tpu.parallel.solver import _exchange_halo
 
@@ -151,8 +151,18 @@ def _round_kernel(t0_ref, pulse_ref, beta_ref, ax_ref, bxc_ref, dx_ref,
 
     carry = (p_s[:], vx_s[:], vy_s[:], onset_ref[:], fx_ref[:], fy_ref[:],
              ed_ref[:], ew_ref[:], et_ref[:])
+    # register-reuse unroll (ops/fdtd_pallas.py::_steps_per_body): several
+    # steps per fori body keep the 9 carries in registers across the group;
+    # bit-identical (same ops, same order)
+    spb = _steps_per_body(chunk)
+
+    def multi_step(j, carry):
+        for u in range(spb):
+            carry = one_step(j * spb + u, carry)
+        return carry
+
     p, vx, vy, onset, fx, fy, ed, ew, et = jax.lax.fori_loop(
-        0, chunk, one_step, carry)
+        0, chunk // spb, multi_step, carry)
     p_s[:] = p
     vx_s[:] = vx
     vy_s[:] = vy
@@ -298,8 +308,16 @@ def _banded_round_kernel(t0_ref, pulse_ref,
 
         carry = (pw[:], vxw[:], vyw[:], onset_t[:], fx_t[:], fy_t[:],
                  ed_t[:], ew_t[:], et_t[:])
+        # register-reuse unroll (ops/fdtd_pallas.py::_steps_per_body)
+        spb = _steps_per_body(k)
+
+        def multi_step(j, carry):
+            for u in range(spb):
+                carry = one_step(j * spb + u, carry)
+            return carry
+
         p, vx, vy, onset, fx, fy, ed, ew, et = jax.lax.fori_loop(
-            0, k, one_step, carry)
+            0, k // spb, multi_step, carry)
         pw[:] = p
         vxw[:] = vx
         vyw[:] = vy

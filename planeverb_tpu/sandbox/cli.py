@@ -416,6 +416,19 @@ def cmd_scale(args) -> int:
     from planeverb_tpu.parallel.scaling import measure_scaling
 
     params = compute_grid_params(_config(args))
+    if args.project:
+        # projected pod-scale efficiency from the one-chip model
+        # (parallel/scaling.py::projected_efficiency; BASELINE.md
+        # "Projected scaling"): rate calibrated from the measured
+        # sharded_pallas_1x1 artifact row unless overridden
+        from planeverb_tpu.parallel.scaling import projected_efficiency
+
+        rows = projected_efficiency(
+            params.nx, params.ny, [1, 4, 8, 16, 32, 64],
+            rate_ext_cups=args.rate_ext * 1e9)
+        for row in rows:
+            print(json.dumps(row))
+        return 0
     scene = _load_scene(args.scene)
     beta, refl = voxelize.voxelize_np(params, scene.boxes if scene else [])
     lix, liy = params.world_to_cell(*_xy(args.listener))
@@ -572,6 +585,14 @@ def main(argv=None) -> int:
     p.add_argument("--solver", choices=("wide", "pallas"), default="wide",
                    help="sharded backend: lax.scan wide-halo or fused "
                         "Pallas rounds (the TPU-rate path)")
+    p.add_argument("--project", action="store_true",
+                   help="print the projected pod-scale efficiency table "
+                        "from the one-chip model instead of measuring "
+                        "(BASELINE.md 'Projected scaling')")
+    p.add_argument("--rate-ext", type=float, default=17.7, dest="rate_ext",
+                   help="measured extended-cell rate in G ext-cells/s for "
+                        "--project (default: the r03 sharded_pallas_1x1 "
+                        "calibration)")
     p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")

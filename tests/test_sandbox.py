@@ -186,3 +186,18 @@ def test_explore_demo_scripted():
     assert shut_dry < open_dry, (shut_dry, open_dry)
     assert game.handle("w")           # movement re-steps the engine
     assert not game.handle("q")       # quit
+
+
+def test_cli_scale_project(capsys):
+    """`scale --project` prints the one-chip-calibrated pod-scale
+    efficiency model (parallel/scaling.py::projected_efficiency)."""
+    import json
+
+    from planeverb_tpu.sandbox.cli import main
+
+    assert main(["scale", "HugeRoom", "--project",
+                 "--grid-size", "133.3", "--resolution", "750"]) == 0
+    rows = [json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["devices"] == 1 and rows[0]["efficiency"] == 1.0
+    assert all(0.0 < r["efficiency"] <= 1.0 for r in rows)
