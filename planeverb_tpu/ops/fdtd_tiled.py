@@ -45,7 +45,8 @@ from planeverb_tpu.config import BoundaryType, GridParams
 from planeverb_tpu.ops.fdtd import (FdtdResult, admittance,
                                     stencil_coefficients)
 from planeverb_tpu.ops.fdtd_pallas import (pad_tile, _LANE, _SUBLANE,
-                                           _steps_per_body)
+                                           _steps_per_body,
+                                           check_recording_elements)
 
 __all__ = ["simulate_tiled", "simulate_moments_tiled"]
 
@@ -301,6 +302,7 @@ def simulate_tiled(params: GridParams, beta, refl, pulse,
     T = params.response_length
     rounds = -(-T // k)
     T_pad = rounds * k
+    check_recording_elements(T_pad, npx, npy, "tiled solver")
 
     beta_p = jnp.zeros((npx + 2 * k, npy),
                        jnp.float32).at[k:k + nx, :ny].set(beta)

@@ -469,6 +469,11 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         # local_sim crops rows [0, bx) afterwards) — frees the band height
         # from divisibility so big bands can amortize halo-row compute
         bxp = -(-bx // bb) * bb
+        if not interpret:
+            from planeverb_tpu.ops.fdtd_pallas import check_recording_elements
+
+            check_recording_elements(T_pad, bxp, W,
+                                     "banded sharded rounds (per shard)")
         if not interpret and (bb % 8 != 0 or k % 8 != 0):
             # Mosaic DMA row slices must be sublane-aligned: the HBM reads
             # use offsets tb*bb and sizes bb/bb+2k, and the round-end writes

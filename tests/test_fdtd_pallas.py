@@ -245,3 +245,17 @@ def test_pipeline_auto_batch_matches_sequential():
             b = np.asarray(getattr(out_s, name))
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
                                        err_msg=name)
+
+
+def test_steps_per_body_divisors():
+    """The unroll factor must always divide the chunk (any chunk the
+    callers pass: 16 default, 8 in tests, arbitrary halos in the sharded
+    round kernels)."""
+    from planeverb_tpu.ops.fdtd_pallas import _steps_per_body
+
+    for chunk in (1, 2, 3, 4, 5, 8, 12, 16, 32):
+        spb = _steps_per_body(chunk)
+        assert 1 <= spb <= 4 and chunk % spb == 0, (chunk, spb)
+    assert _steps_per_body(16) == 4
+    assert _steps_per_body(3) == 3
+    assert _steps_per_body(5) == 1

@@ -64,3 +64,28 @@ def test_band_autosizing():
     assert fdtd_tiled._pick_band(459, 512, 16, None) <= 464
     assert fdtd_tiled._pick_band(29, 128, 4, None) <= 32
     assert fdtd_tiled._pick_band(1000, 128, 16, 100) == 104  # explicit, padded
+
+
+def test_recording_buffer_limit_guard():
+    """A single TPU buffer caps at 2^31-1 elements (verified on v5e: the
+    2048x1024x1024 recording of a 133m@750Hz world crashes the compiler).
+    The guard must turn that into actionable guidance before any compile."""
+    import pytest
+
+    from planeverb_tpu.config import PlaneverbConfig, compute_grid_params, \
+        gaussian_pulse
+    from planeverb_tpu.ops import voxelize
+    from planeverb_tpu.ops.fdtd_pallas import check_recording_elements
+
+    check_recording_elements(1200, 1024, 1024, "ok")     # 1.26e9: fine
+    with pytest.raises(ValueError, match="single-buffer"):
+        check_recording_elements(2048, 1024, 1024, "over")
+
+    p = compute_grid_params(PlaneverbConfig(
+        grid_size_x=133.3, grid_size_y=133.3, grid_resolution=750))
+    beta, refl = voxelize.voxelize_np(p, [])
+    pulse = gaussian_pulse(p)
+    with pytest.raises(ValueError, match="mesh"):
+        fdtd_tiled.simulate_moments_tiled(
+            p, jnp.asarray(beta), jnp.asarray(refl), jnp.asarray(pulse),
+            5, 5, interpret=True)
