@@ -281,18 +281,14 @@ def _pick_band(nx: int, npy: int, k: int, band_rows: int | None) -> int:
     return min(bx, pad_tile(nx, _SUBLANE))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("params", "band_rows", "halo",
-                                    "interpret"))
-def simulate_tiled(params: GridParams, beta, refl, pulse,
-                   listener_ix, listener_iy,
-                   band_rows: int | None = None, halo: int = 16,
-                   interpret: bool = False):
-    """One simulation pass with HBM-resident state and k-step band streaming.
-
-    Returns (FdtdResult, (e_dry, e_wet, e_total)) with grids padded to band
-    multiples; crop to params dims for analysis.
-    """
+def _simulate_tiled_impl(params: GridParams, beta, refl, pulse,
+                         listener_ix, listener_iy,
+                         band_rows: int | None = None, halo: int = 16,
+                         interpret: bool = False):
+    """Core tiled pass. Returns (rec_padded [T_pad, npx, npy], onset, fx,
+    fy, ed, ew, et) — the UNcropped whole-slab recording, so the moments
+    pass can consume it without a multi-GB re-pad copy (a second
+    recording-sized buffer exhausts HBM on XL grids)."""
     nx, ny = params.nx, params.ny
     npy = pad_tile(ny, _LANE)
     k = halo
@@ -354,7 +350,26 @@ def simulate_tiled(params: GridParams, beta, refl, pulse,
     )(scal, pulse2, beta_p, Y)
 
     (_, _, _, onset, fx, fy, ed, ew, et, rec) = outs
-    res = FdtdResult(pressure=rec[:T], onset=onset, flux_x=fx, flux_y=fy)
+    return rec, onset, fx, fy, ed, ew, et
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "band_rows", "halo",
+                                    "interpret"))
+def simulate_tiled(params: GridParams, beta, refl, pulse,
+                   listener_ix, listener_iy,
+                   band_rows: int | None = None, halo: int = 16,
+                   interpret: bool = False):
+    """One simulation pass with HBM-resident state and k-step band streaming.
+
+    Returns (FdtdResult, (e_dry, e_wet, e_total)) with grids padded to band
+    multiples; crop to params dims for analysis.
+    """
+    rec, onset, fx, fy, ed, ew, et = _simulate_tiled_impl(
+        params, beta, refl, pulse, listener_ix, listener_iy,
+        band_rows=band_rows, halo=halo, interpret=interpret)
+    res = FdtdResult(pressure=rec[:params.response_length], onset=onset,
+                     flux_x=fx, flux_y=fy)
     return res, (ed, ew, et)
 
 
@@ -466,18 +481,30 @@ def _tiled_moments_kernel(onset_hbm, rec_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("params", "band_rows", "halo",
-                                    "interpret"))
+                                    "interpret", "return_pressure"))
 def simulate_moments_tiled(params: GridParams, beta, refl, pulse,
                            listener_ix, listener_iy,
                            band_rows: int | None = None,
-                           halo: int = 16, interpret: bool = False):
+                           halo: int = 16, interpret: bool = False,
+                           return_pressure: bool = True):
     """Tiled sim + full analyzer moments (large-grid analog of
-    fdtd_pallas.simulate_moments_pallas). Returns (FdtdResult, Moments)."""
+    fdtd_pallas.simulate_moments_pallas). Returns (FdtdResult, Moments).
+
+    ``return_pressure=False`` returns an EMPTY pressure array instead of
+    the [T, npx, npy] recording: moments-only callers (benchmarks, engines
+    in cells-publish mode) then don't force a second recording-sized
+    output buffer into HBM — on XL grids (~8 GB recordings) keeping both
+    the internal slab buffer and the sliced output alive exhausts the
+    chip."""
     from planeverb_tpu.ops.analyzer import Moments
 
-    res, (ed, ew, et) = simulate_tiled(
+    rec_pad, onset, fx, fy, ed, ew, et = _simulate_tiled_impl(
         params, beta, refl, pulse, listener_ix, listener_iy,
         band_rows=band_rows, halo=halo, interpret=interpret)
+    pressure = (rec_pad[:params.response_length] if return_pressure
+                else rec_pad[:0])
+    res = FdtdResult(pressure=pressure, onset=onset,
+                     flux_x=fx, flux_y=fy)
     npx, npy = ed.shape
     k = halo
     bx = _pick_band(params.nx, npy, k, band_rows)
@@ -486,12 +513,6 @@ def simulate_moments_tiled(params: GridParams, beta, refl, pulse,
     T = params.response_length
     n_rounds = -(-T // k)
     T_pad = n_rounds * k
-    # simulate_tiled returns the recording cropped to T; re-pad the time
-    # axis to whole slabs (padding rows are masked off by the live check)
-    rec_pad = res.pressure
-    if rec_pad.shape[0] != T_pad:
-        rec_pad = jnp.zeros((T_pad, npx, npy),
-                            jnp.float32).at[:T].set(rec_pad)
 
     kernel = functools.partial(
         _tiled_moments_kernel,
