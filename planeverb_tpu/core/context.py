@@ -273,8 +273,12 @@ def _next_pow2(n: int) -> int:
 
 
 # grids above this cell count compute DOA lazily per query (host walk)
-# instead of the full-grid device pass — see ops/doa.py::walk_direction
-LAZY_DOA_CELLS = 1 << 16
+# instead of the full-grid device pass — see ops/doa.py::walk_direction.
+# r4 raised the threshold 16x: the gather-free DOA rewrite made the device
+# pass ~1-2 ms even at 963x963 (vs ~25 ms of pointer-jumping gathers when
+# the 65k threshold was set), negligible next to those grids' 100 ms-class
+# sim passes — so full direction grids publish by default up to ~1M cells.
+LAZY_DOA_CELLS = 1 << 20
 
 
 class Context:

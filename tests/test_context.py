@@ -551,3 +551,21 @@ def test_listener_coverage_warning():
     with warnings.catch_warnings():           # warned once, then quiet
         warnings.simplefilter("error")
         ctx.set_listener_position(0.5, 0.0, 0.5)
+
+
+def test_lazy_doa_threshold_r4():
+    """After the gather-free DOA rewrite, full direction grids publish on
+    device by default up to ~1M cells (LAZY_DOA_CELLS raised 16x in r4);
+    the host-walk fallback remains for truly huge grids and by request."""
+    from planeverb_tpu.core.context import LAZY_DOA_CELLS
+
+    assert LAZY_DOA_CELLS == 1 << 20
+    # 95 m @ LOW -> ~266^2 = ~71k cells: lazy under the old 65k threshold,
+    # device DOA now
+    cfg = pv.PlaneverbConfig(grid_size_x=95.0, grid_size_y=95.0,
+                             grid_resolution=275)
+    ctx = pv.Context(cfg)
+    assert not ctx._lazy_doa
+    assert ctx.params.grid_x * ctx.params.grid_y > (1 << 16)
+    # explicit opt-in still works
+    assert pv.Context(cfg, lazy_directions=True)._lazy_doa
