@@ -477,6 +477,9 @@ def _simulate_impl_batch(params: GridParams, beta, refl, pulse,
     T_pad = pad_tile(T, chunk)
     B = lcells.shape[0]
     n_chunks = T_pad // chunk
+    # B listeners share one flat recording buffer; the 2^31-1 element limit
+    # applies to it as a whole
+    check_recording_elements(B * T_pad, npx, npy, "batched fused solver")
 
     beta_p = jnp.zeros((npx, npy), jnp.float32).at[:nx, :ny].set(beta)
     refl_p = jnp.zeros((npx, npy), jnp.float32).at[:nx, :ny].set(refl)
