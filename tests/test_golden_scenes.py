@@ -41,12 +41,21 @@ def _efree(p):
     return _EFREE_CACHE[key]
 
 
-@pytest.fixture(scope="module", params=sorted(SCENE_GRIDS))
+# every scene at LOW (the reference sandbox default), plus the resolution
+# axis on one closed room: the grid law (dx/dt/fs), window sample counts
+# and RT60 regression all scale with fs, so parity at 375/750 Hz guards
+# the whole derived-parameter chain, not just the 275 Hz constants
+_CASES = [(name, 275) for name in sorted(SCENE_GRIDS)]
+_CASES += [("SmallRoom", 375), ("SmallRoom", 750)]
+
+
+@pytest.fixture(scope="module", params=_CASES,
+                ids=[f"{n}@{r}" for n, r in _CASES])
 def golden(request):
-    name = request.param
+    name, resolution = request.param
     size = SCENE_GRIDS[name]
     cfg = PlaneverbConfig(grid_size_x=size, grid_size_y=size,
-                          grid_resolution=275)
+                          grid_resolution=resolution)
     scene = demo_scene(name)
     listener = (size / 2.0, size / 2.0)
 
