@@ -84,10 +84,20 @@ def main() -> int:
                         jnp.asarray(pulse), jnp.int32(lix), jnp.int32(liy))
     want = [float(v) for v in jax.jit(fingerprint)(ref.pressure)]
 
+    # the production Pallas round solver across the same 2-process mesh
+    # (interpret kernels off-TPU; the ppermute halo exchange still crosses
+    # the real process boundary)
+    from planeverb_tpu.parallel import simulate_sharded_pallas
+
+    res_p = simulate_sharded_pallas(
+        params, bpad, rpad, jnp.asarray(pulse), jnp.int32(lix),
+        jnp.int32(liy), mesh, nx_pad, ny_pad, halo=2, interpret=True)
+    got_p = [float(v) for v in crop(res_p.pressure)]
+
     print(f"RESULT pid={pid} mesh={dict(mesh.shape)} "
-          f"got={got} want={want}", flush=True)
+          f"got={got} got_pallas={got_p} want={want}", flush=True)
     ok = all(abs(g - w) <= 1e-5 * max(1.0, abs(w)) for g, w in
-             zip(got, want))
+             zip(got + got_p, want + want))
     return 0 if ok else 1
 
 
