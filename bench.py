@@ -43,6 +43,9 @@ V5E_VPU_OPS = 8 * 128 * 4 * 0.94e9
 # elementwise ops per cell per step in the fused kernel (stencil update +
 # streaming onset/flux/windowed energies; counted from ops/fdtd_pallas.py)
 KERNEL_OPS_PER_CELL_STEP = 44.0
+# ...and in the backward moments pass (suffix EDC + log->dB + the two
+# regression accumulators; the log lowers to a ~7-op polynomial)
+MOMENTS_OPS_PER_CELL_STEP = 14.0
 
 
 def main() -> None:
@@ -215,22 +218,20 @@ def main() -> None:
         # shard over a mesh (per-shard recordings divide by chip count).
         return _tiled(126.0, None, reps=2, chain=4)
 
-    # --- pure device throughput: K data-dependent sim passes inside ONE
-    # XLA program (one dispatch, one fetch) — no tunnel dispatch in the
-    # measured region at all. This is the number a production (untunneled)
-    # deployment sustains; the headline above additionally carries one
-    # ~0.2 ms dispatch round-trip per pass.
-    def _device_throughput():
-        from planeverb_tpu.ops.fdtd_pallas import simulate_moments_pallas
-
+    # --- pure device time: K data-dependent passes inside ONE XLA program
+    # (one dispatch, one fetch) — no tunnel dispatch in the measured region.
+    def _scan_slope(one_pass):
+        """Paired in-program-scan slope of ``one_pass(carry) -> scalar``:
+        (t_22 - t_2)/20 per pass, median of 5 reps. Seeds offset from the
+        warm-up inputs keep the tunnel's relay cache out (CLAUDE.md); a
+        slope outside (0, mean_long] means fetch jitter beat the delta and
+        falls back to the long-chain mean (same guard as
+        utils/profiling.py::time_chained_stats)."""
         def k_passes(k):
             @jax.jit
             def prog(eps):
                 def one(carry, _):
-                    res, mom = simulate_moments_pallas(
-                        params, beta, refl, pulse * (1.0 + carry),
-                        lix, liy)
-                    return mom.e_total[5, 5] * 1e-6 + carry * 1e-3, None
+                    return one_pass(carry) * 1e-6 + carry * 1e-3, None
 
                 final, _ = jax.lax.scan(one, eps, None, length=k)
                 return final
@@ -242,9 +243,6 @@ def main() -> None:
         float(np.asarray(long_(jnp.float32(1e-3))))
         slopes = []
         for rep in range(5):
-            # seeds offset from the 1e-3 warm-up inputs: an input-identical
-            # rerun can be served by the tunnel's relay cache (CLAUDE.md),
-            # which would zero t_s and corrupt that rep's slope
             t0 = time.perf_counter()
             float(np.asarray(short(jnp.float32(1e-3 * (rep + 1) + 7e-5))))
             t_s = time.perf_counter() - t0
@@ -252,16 +250,26 @@ def main() -> None:
             float(np.asarray(long_(jnp.float32(1e-3 * (rep + 1) + 1e-5))))
             t_l = time.perf_counter() - t0
             slope = (t_l - t_s) / 20.0
-            # same jitter guard as time_chained_stats: a slope outside
-            # (0, mean_long] means fetch jitter beat the delta
             mean_long = t_l / 22.0
             slopes.append(slope if 0.0 < slope <= mean_long else mean_long)
         t = float(np.median(slopes))
+        return t, [round(v * 1e3, 3) for v in (min(slopes), t, max(slopes))]
+
+    # This is the number a production (untunneled) deployment sustains; the
+    # headline above additionally carries dispatch round-trips per pass.
+    def _device_throughput():
+        from planeverb_tpu.ops.fdtd_pallas import simulate_moments_pallas
+
+        def one_pass(carry):
+            res, mom = simulate_moments_pallas(
+                params, beta, refl, pulse * (1.0 + carry), lix, liy)
+            return mom.e_total[5, 5]
+
+        t, spread = _scan_slope(one_pass)
         return {
             "what": "sim+moments, 20-pass in-program scan slope",
             "wall_ms": round(t * 1e3, 3),
-            "wall_ms_spread": [round(v * 1e3, 3)
-                               for v in (min(slopes), t, max(slopes))],
+            "wall_ms_spread": spread,
             "gcups": round(cell_updates / t / 1e9, 2),
         }
 
@@ -284,35 +292,13 @@ def main() -> None:
 
         # pure device time (same methodology as device_throughput) so the
         # artifact reconciles dispatch-inclusive and device-only walls
-        def one16(carry, _):
+        def one16(carry):
             res, mom = simulate_moments_pallas(
                 params, beta, refl, pulse * (1.0 + carry), lix, liy,
                 state_dtype=jnp.bfloat16)
-            return mom.e_total[5, 5] * 1e-6 + carry * 1e-3, None
+            return mom.e_total[5, 5]
 
-        def k16(k):
-            @jax.jit
-            def prog(eps):
-                final, _ = jax.lax.scan(one16, eps, None, length=k)
-                return final
-
-            return prog
-
-        short, long_ = k16(2), k16(22)
-        float(np.asarray(short(jnp.float32(1e-3))))
-        float(np.asarray(long_(jnp.float32(1e-3))))
-        slopes = []
-        for rep in range(5):
-            t0 = time.perf_counter()
-            float(np.asarray(short(jnp.float32(1e-3 * (rep + 1) + 7e-5))))
-            t_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(np.asarray(long_(jnp.float32(1e-3 * (rep + 1) + 1e-5))))
-            t_l = time.perf_counter() - t0
-            slope = (t_l - t_s) / 20.0
-            mean_long = t_l / 22.0
-            slopes.append(slope if 0.0 < slope <= mean_long else mean_long)
-        t_dev = float(np.median(slopes))
+        t_dev, dev_spread = _scan_slope(one16)
 
         @jax.jit
         def pipe16(eps):
@@ -330,9 +316,7 @@ def main() -> None:
             "sim_wall_ms_spread": spread_ms(s),
             "sim_gcups": round(cell_updates / s["median_s"] / 1e9, 2),
             "device_scan_ms": round(t_dev * 1e3, 3),
-            "device_scan_ms_spread": [round(v * 1e3, 3)
-                                      for v in (min(slopes), t_dev,
-                                                max(slopes))],
+            "device_scan_ms_spread": dev_spread,
             "pipeline_wall_ms": round(sp["median_s"] * 1e3, 2),
             "pipeline_wall_ms_spread": spread_ms(sp),
             "recording_hbm_bytes": t_pad * npx * npy * 2,
@@ -472,18 +456,28 @@ def main() -> None:
     roofline = {}
     if platform == "tpu":
         dev = extras.get("device_throughput", {})
-        t_dev = dev.get("wall_ms", t_sim * 1e3) * 1e-3
-        sim_bytes = t_pad * npx * npy * 4
-        # device pass = sim (writeback) + moments (re-read): 2x the bytes
-        dev_gbps = 2 * sim_bytes / t_dev / 1e9
-        vpu_ops = cell_updates * KERNEL_OPS_PER_CELL_STEP
-        roofline = {
-            "sim_hbm_bytes": sim_bytes,
-            "device_hbm_gbps": round(dev_gbps, 1),
-            "device_hbm_roofline_frac": round(dev_gbps / V5E_HBM_GBPS, 4),
-            "device_vpu_roofline_frac": round(vpu_ops / t_dev / V5E_VPU_OPS,
-                                              4),
-        }
+        if "wall_ms" in dev:
+            t_dev = dev["wall_ms"] * 1e-3
+            sim_bytes = t_pad * npx * npy * 4
+            # device pass = sim (writeback) + moments (re-read): 2x bytes
+            dev_gbps = 2 * sim_bytes / t_dev / 1e9
+            # whole-pass op count to match the whole-pass wall: sim kernel
+            # + the backward moments pass
+            vpu_ops = cell_updates * (KERNEL_OPS_PER_CELL_STEP
+                                      + MOMENTS_OPS_PER_CELL_STEP)
+            roofline = {
+                "sim_hbm_bytes": sim_bytes,
+                "device_hbm_gbps": round(dev_gbps, 1),
+                "device_hbm_roofline_frac": round(dev_gbps / V5E_HBM_GBPS,
+                                                  4),
+                "device_vpu_roofline_frac": round(
+                    vpu_ops / t_dev / V5E_VPU_OPS, 4),
+            }
+        else:
+            # the device row errored; the dispatch-inclusive sim wall would
+            # corrupt the fractions, so record the gap instead of a number
+            roofline = {"roofline_note": "device_throughput row missing; "
+                                         "fractions not derivable"}
 
     result = {
         "metric": "fdtd_cell_updates_per_s",

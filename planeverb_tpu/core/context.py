@@ -159,10 +159,20 @@ def _pipeline_packed_multi(params, beta, refl, pulse, cells, efree, lpos,
     multiply the recording memory; ``get_impulse_response`` stays
     single-listener).
     """
-    from planeverb_tpu.ops.fdtd_pallas import fits_vmem, pipeline_auto_batch
+    from planeverb_tpu.ops.fdtd_pallas import (MAX_BUFFER_ELEMENTS,
+                                               fits_vmem, pad_tile,
+                                               pipeline_auto_batch)
 
-    if jax.devices()[0].platform == "tpu" and fits_vmem(
-            params, state_dtype=state_dtype):
+    # the batched kernel shares one [B*T_pad, npx, npy] recording buffer;
+    # listener counts that would overflow the 2^31-1 single-buffer element
+    # limit fall back to the sequential lax.map below (one recording at a
+    # time — slower per listener, but any B works)
+    B = cells.shape[0]
+    batch_elems = (B * pad_tile(params.response_length, 16)
+                   * pad_tile(params.nx, 8) * pad_tile(params.ny, 128))
+    if (jax.devices()[0].platform == "tpu"
+            and fits_vmem(params, state_dtype=state_dtype)
+            and batch_elems <= MAX_BUFFER_ELEMENTS):
         out = pipeline_auto_batch(
             params, beta, refl, pulse, cells, efree, lpos,
             compute_directions=compute_directions, state_dtype=state_dtype)

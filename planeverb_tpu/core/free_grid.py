@@ -52,13 +52,30 @@ def _key(params: GridParams) -> tuple:
 
 
 def _cal_params(params: GridParams) -> GridParams:
-    """Calibration domain: the grid itself when small, else the fixed
-    CAL_SIZE_M square (same resolution/boundary/constants, zero offset) —
-    making EFree, and its cache key, independent of grid extent."""
-    if min(params.grid_size_x, params.grid_size_y) <= CAL_SIZE_M:
+    """Calibration domain: each dimension clamps to CAL_SIZE_M (same
+    resolution/boundary/constants, zero offset) — EFree, and its cache
+    key, become independent of any grid extent beyond the echo horizon.
+    Dimensions at or under CAL_SIZE_M stay exact, so near boundaries keep
+    the legacy physics (an elongated 10x200 m grid calibrates on 10x14 m:
+    same short-dim wall distances, the long-dim walls are beyond reach in
+    both domains), and a grid small in both dimensions is bit-compatible
+    with the reference's full-grid calibration.
+
+    Known normalization (measured r4): per-grid-size EFree values scatter
+    in two classes ~2% apart because the reference's float round-trip of
+    the centered listener (FreeGrid.cpp:84; reproduced in _efree_on)
+    sometimes floors the listener cell one row short, putting the 1 m
+    probe diagonally off-axis while the 1/r normalization still assumes
+    on-axis distance. The fixed domain deterministically picks ONE class
+    per resolution instead of inheriting the grid-size-dependent scatter —
+    acoustic-parameter parity is unaffected (engine and oracle share the
+    same EFree; tests/test_analyzer.py pins the classes)."""
+    if (params.grid_size_x <= CAL_SIZE_M
+            and params.grid_size_y <= CAL_SIZE_M):
         return params
     cfg = PlaneverbConfig(
-        grid_size_x=CAL_SIZE_M, grid_size_y=CAL_SIZE_M,
+        grid_size_x=min(params.grid_size_x, CAL_SIZE_M),
+        grid_size_y=min(params.grid_size_y, CAL_SIZE_M),
         grid_resolution=params.resolution,
         grid_boundary_type=params.boundary_type,
         constants=params.constants)

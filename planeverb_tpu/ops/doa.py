@@ -128,19 +128,24 @@ def encode_directions(params: GridParams, occlusion, delay,
     # hop selector: which of the 8 neighbors the advancing hop takes
     # (8 = hold). g(c) is always a NEIGHBOR of c, so "pull the label from
     # g(c)" is 8 shifted selects — no gather (see module docstring).
-    adv2 = advance.reshape(gx, gy)
     nxt2 = nxt.reshape(gx, gy)
-    sel = jnp.full((gx, gy), 8, jnp.int32)
-    for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
-        n_idx = (rr + dr) * gy + (cc + dc)
-        sel = jnp.where(adv2 & (nxt2 == n_idx), idx, sel)
 
-    def _pull(lab):
-        """lab at each cell's hop target: 8 shifts + masked selects."""
+    def _selector(active2):
+        """Neighbor index (0-7) of nxt where ``active2``, else 8 (hold)."""
+        sel = jnp.full((gx, gy), 8, jnp.int32)
+        for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
+            n_idx = (rr + dr) * gy + (cc + dc)
+            sel = jnp.where(active2 & (nxt2 == n_idx), idx, sel)
+        return sel
+
+    def _pull(lab, sel):
+        """lab at each cell's hop target per ``sel``: 8 shifts + selects."""
         out = lab
         for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
             out = jnp.where(sel == idx, _shift(lab, dr, dc, 0), out)
         return out
+
+    sel = _selector(advance.reshape(gx, gy))
 
     # walk-end label: where the walk rests once it stops at this cell
     label0 = jnp.where(hop_stop, nxt, jnp.arange(n)).reshape(gx, gy)
@@ -159,7 +164,7 @@ def encode_directions(params: GridParams, occlusion, delay,
 
     def body(state):
         i, lab, _ = state
-        nl = _pull(_pull(_pull(_pull(lab))))
+        nl = _pull(_pull(_pull(_pull(lab, sel), sel), sel), sel)
         return i + 1, nl, jnp.any(nl != lab)
 
     _, lab, _ = jax.lax.while_loop(cond, body, (0, label0, jnp.bool_(True)))
@@ -167,14 +172,7 @@ def encode_directions(params: GridParams, occlusion, delay,
     # first step from the start cell: delay register is +inf, LOS unchecked
     # — resolve each start through its first-hop neighbor's converged label
     start_terminal = (occ >= jnp.float32(k.distance_gain_threshold)) | (~has_next)
-    sel_start = jnp.full((gx, gy), 8, jnp.int32)
-    st2 = (~start_terminal).reshape(gx, gy)
-    for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
-        n_idx = (rr + dr) * gy + (cc + dc)
-        sel_start = jnp.where(st2 & (nxt2 == n_idx), idx, sel_start)
-    final = lab
-    for idx, (dr, dc) in enumerate(_NEIGHBOR_OFFSETS):
-        final = jnp.where(sel_start == idx, _shift(lab, dr, dc, 0), final)
+    final = _pull(lab, _selector((~start_terminal).reshape(gx, gy)))
     final = final.reshape(n)
 
     # unit vector from final cell to listener (Analyzer.cpp:409-430);

@@ -207,3 +207,23 @@ def test_free_field_fixed_domain_matches_full_grid():
     # small grids keep the reference's exact full-grid behavior
     p10 = compute_grid_params(CFG)
     assert free_grid._cal_params(p10) is p10
+
+    # elongated grids clamp only the long dimension (short-dim wall physics
+    # preserved), so a 10x200 m world does NOT pay a full-length init sim
+    p_long = compute_grid_params(PlaneverbConfig(
+        grid_size_x=10.0, grid_size_y=200.0, grid_resolution=275))
+    cal_long = free_grid._cal_params(p_long)
+    assert (cal_long.grid_size_x, cal_long.grid_size_y) == (
+        10.0, free_grid.CAL_SIZE_M)
+    # Per-size EFree values fall into two classes ~2% apart: the
+    # reference's float listener round-trip (FreeGrid.cpp:84) sometimes
+    # floors the listener cell, putting the 1 m probe diagonally off-axis
+    # (see _cal_params docstring). The clamped domain matches same-class
+    # full grids exactly-ish and stays within the quirk spread of the rest.
+    e_cal = free_grid._efree_on(cal_long)
+    e_same_class = free_grid._efree_on(compute_grid_params(PlaneverbConfig(
+        grid_size_x=10.0, grid_size_y=30.0, grid_resolution=275)))
+    e_other_class = free_grid._efree_on(compute_grid_params(PlaneverbConfig(
+        grid_size_x=10.0, grid_size_y=40.0, grid_resolution=275)))
+    assert e_cal == pytest.approx(e_same_class, rel=1e-5)
+    assert e_cal == pytest.approx(e_other_class, rel=0.03)
