@@ -118,6 +118,13 @@ def test_vmem_guard():
     huge = compute_grid_params(PlaneverbConfig(
         grid_size_x=300.0, grid_size_y=300.0, grid_resolution=750))
     assert not fdtd_pallas.fits_vmem(huge)
+    # bf16 is the capacity mode: a grid too big for the f32 fused kernel
+    # stays on the fused fast path with bf16 wave state (~260^2 cells
+    # here; the bf16 footprint halves the state+coefficient share)
+    mid = compute_grid_params(PlaneverbConfig(
+        grid_size_x=34.0, grid_size_y=34.0, grid_resolution=750))
+    assert not fdtd_pallas.fits_vmem(mid)
+    assert fdtd_pallas.fits_vmem(mid, state_dtype=jnp.bfloat16)
 
 
 def test_bf16_state_mode_golden_parameters():
