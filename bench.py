@@ -484,10 +484,24 @@ def main() -> None:
             roofline = {"roofline_note": "device_throughput row missing; "
                                          "fractions not derivable"}
 
+    # headline: the pure-device rate when measurable — the dispatch-
+    # inclusive sim slope swings 2-9 ms run-to-run with tunnel weather
+    # (spreads recorded) while the in-program scan slope stays within
+    # ~0.15 ms, so the recorded headline tracks the hardware, not the
+    # tunnel. sim_wall_s keeps the dispatch-inclusive number.
+    dev_row = extras.get("device_throughput", {})
+    if "wall_ms" in dev_row:
+        rate = cell_updates / (dev_row["wall_ms"] * 1e-3)
+        basis = "device scan slope (dispatch excluded; sim_wall_s is the " \
+                "tunnel-dispatch-inclusive slope)"
+    else:
+        basis = "dispatch-inclusive sim slope"
+
     result = {
         "metric": "fdtd_cell_updates_per_s",
         "value": round(rate),
         "unit": "cell-updates/s",
+        "headline_basis": basis,
         "vs_baseline": round(rate / rate_oracle, 2),
         "timing": "paired-chain slope, median of reps; the r01/r02 "
                   "single-chain means silently included ~1/n of a 25-35ms "
