@@ -336,7 +336,8 @@ def main() -> None:
     # dispatch + one packed fetch. The VERDICT r3 target:
     # ms_per_listener <= 0.6 x pipeline_wall_s at B=4.
     def _multi_listener():
-        from planeverb_tpu.core.context import _pipeline_packed_multi
+        from planeverb_tpu.core.context import (_pipeline_packed,
+                                                _pipeline_packed_multi)
 
         B = 4
         cells_np = np.array([[5 + 20 * i, 5 + 15 * i] for i in range(B)],
@@ -344,29 +345,40 @@ def main() -> None:
         lpos = jnp.asarray(cells_np.astype(np.float32) * params.dx)
         cells_b = jnp.asarray(cells_np)
 
-        def one(eps):
+        # both walls in-program scan slopes (dispatch excluded), so the
+        # per-listener ratio compares device time to device time
+        def one_multi(carry):
             packed = _pipeline_packed_multi(
-                params, beta, refl, pulse * (1.0 + eps), cells_b,
+                params, beta, refl, pulse * (1.0 + carry), cells_b,
                 jnp.float32(1.0), lpos)
             return packed[:, 5, 5, 0].sum() * 1e-2
 
-        float(np.asarray(one(0.0)))
-        s = time_chained_stats(one, n=10, reps=3)
-        t = s["median_s"]
+        t_multi, spread = _scan_slope(one_multi)
+
+        def one_single(carry):
+            _, packed = _pipeline_packed(
+                params, beta, refl, pulse * (1.0 + carry),
+                int(cells_np[0, 0]), int(cells_np[0, 1]),
+                jnp.float32(1.0), jnp.float32(12.5), jnp.float32(12.5))
+            return packed[5, 5, 0] * 1e-2
+
+        t_single, sspread = _scan_slope(one_single)
         return {
             "listeners": B,
-            "wall_ms": round(t * 1e3, 2),
-            "wall_ms_spread": spread_ms(s),
-            "ms_per_listener": round(t * 1e3 / B, 2),
-            "vs_single_pipeline": round(t / B / t_pipeline, 2),
+            "wall_ms": round(t_multi * 1e3, 2),
+            "wall_ms_spread": spread,
+            "ms_per_listener": round(t_multi * 1e3 / B, 3),
+            "single_pipeline_ms": round(t_single * 1e3, 3),
+            "single_pipeline_ms_spread": sspread,
+            "vs_single_pipeline": round(t_multi / B / t_single, 2),
             "note": "B listeners batched in the fused kernel + vmapped "
-                    "analyzer (full per-view DOA); vs_single_pipeline is "
-                    "ms_per_listener / pipeline_wall_s — ~1.0 is the "
-                    "data-parallel ideal now that r4 removed the "
-                    "shareable overheads (DOA gathers + dispatch) from "
-                    "the single pipeline itself; the r3 0.6x target was "
-                    "set against the 5.19 ms r3 pipeline and is beaten "
-                    "absolutely (r3: 5.45 ms/listener)",
+                    "analyzer (full per-view DOA), 40-pass scan slopes; "
+                    "vs_single_pipeline ~1.0 is the data-parallel ideal "
+                    "now that r4 removed the shareable overheads (DOA "
+                    "gathers + dispatch) from the single pipeline; the "
+                    "r3 0.6x target was set against the 5.19 ms r3 "
+                    "pipeline and is beaten absolutely "
+                    "(r3: 5.45 ms/listener)",
         }
 
     # --- beyond-VMEM shard through the ENGINE's sharded path: when a
