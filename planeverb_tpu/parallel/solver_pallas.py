@@ -191,16 +191,15 @@ def sharded_kernel_vmem_bytes(bx: int, by: int, halo: int,
     return ext * (11 + 3) + cell * 15 + 2 * chunk * cell
 
 
-def _banded_round_kernel(t0_ref, pulse_ref,
-                         beta_hbm, ax_hbm, bxc_hbm, dx_hbm,
-                         ay_hbm, byc_hbm, dy_hbm, src_hbm,
+def _banded_round_kernel(t0_ref, pulse_ref, geo_ref,
+                         beta_hbm, y_hbm,
                          p_hbm, vx_hbm, vy_hbm,
                          onset_in, fx_in, fy_in, ed_in, ew_in, et_in,
                          rec_hbm, p_out, vx_out, vy_out,
                          onset_out, fx_out, fy_out,
                          ed_out, ew_out, et_out,
                          *, courant, thr, src_dir_n, t_real, dry_n, wet_n,
-                         k, bb, w):
+                         k, bb, w, gx, gy, absorbing):
     """One k-step round for shards beyond VMEM: band-streamed HBM state.
 
     Per-step math and moment windows are identical to :func:`_round_kernel`
@@ -216,28 +215,35 @@ def _banded_round_kernel(t0_ref, pulse_ref,
     accumulators, and k-step recording. Bands are independent within a
     round: they all read round-start state and write disjoint rows.
 
+    Stencil coefficients fold IN-WINDOW from the beta/admittance windows
+    (ops/fdtd.py::stencil_coefficients on window shifts + global coords
+    from ``geo_ref`` = [gi0, gj0, lix, liy]), exactly as ops/fdtd_tiled.py
+    does: streaming 2 geometry planes per band instead of the r3 design's
+    8 precomputed planes cuts the dominant per-band HBM traffic ~2x.
+    Window-edge shift artifacts only ever contaminate the outermost halo
+    row per step, which the k-step halo argument already discards, so the
+    fold is bit-identical on every surviving row.
+
     Every array here spans the FULL lane-padded extended width ``w``
     (a 128 multiple covering interior + y ghosts + alignment pad): Mosaic
     requires DMA slices to be lane-aligned, so the lane dimension is never
-    sliced — callers pad the extended arrays to ``w`` columns (zero
-    coefficients there keep the pad exactly zero, preserving bit parity
-    with the fused round) and crop columns [k, k+by) afterwards. Row DMAs
-    stay aligned as long as ``bb`` and ``k`` are both multiples of 8 (reads
-    slice at offsets tb*bb; the round-end writes slice the VMEM window at
-    row offset k) — :func:`_pick_shard_band` and the default halo=16
-    satisfy both.
+    sliced — callers pad the extended arrays to ``w`` columns (beta = 0
+    AND Y = 0 in the pad fold every coefficient there to exactly zero, so
+    pads stay exactly silent, preserving bit parity with the fused round)
+    and crop columns [k, k+by) afterwards. Row DMAs stay aligned as long
+    as ``bb`` and ``k`` are both multiples of 8 (reads slice at offsets
+    tb*bb; the round-end writes slice the VMEM window at row offset k) —
+    :func:`_pick_shard_band` and the default halo=16 satisfy both.
     """
     tb = pl.program_id(0)
     wrows = bb + 2 * k
 
-    def body(pw, vxw, vyw, bw, axw, bxw, dxw, ayw, byw, dyw, srcw,
+    def body(pw, vxw, vyw, bw, yw,
              onset_t, fx_t, fy_t, ed_t, ew_t, et_t, rec_t, sems):
         row = tb * bb           # window start in the extended block
         irow = tb * bb          # band start in the interior-row arrays
 
-        ext_pairs = ((beta_hbm, bw), (ax_hbm, axw), (bxc_hbm, bxw),
-                     (dx_hbm, dxw), (ay_hbm, ayw), (byc_hbm, byw),
-                     (dy_hbm, dyw), (src_hbm, srcw),
+        ext_pairs = ((beta_hbm, bw), (y_hbm, yw),
                      (p_hbm, pw), (vx_hbm, vxw), (vy_hbm, vyw))
         int_pairs = ((onset_in, onset_t), (fx_in, fx_t), (fy_in, fy_t),
                      (ed_in, ed_t), (ew_in, ew_t), (et_in, et_t))
@@ -253,15 +259,24 @@ def _banded_round_kernel(t0_ref, pulse_ref,
             dma.wait()
 
         beta = bw[:]
-        a_x = axw[:]
-        b_x = bxw[:]
-        d_x = dxw[:]
-        a_y = ayw[:]
-        b_y = byw[:]
-        d_y = dyw[:]
-        src = srcw[:]
+        Y = yw[:]
         zrow = jnp.zeros((1, w), jnp.float32)
         zcol = jnp.zeros((wrows, 1), jnp.float32)
+
+        # in-window coefficient fold (see docstring): global coords of
+        # window row/col 0 come from the shard origin + band offset
+        gi = (geo_ref[0, 0] + row
+              + jax.lax.broadcasted_iota(jnp.int32, (wrows, w), 0))
+        gj = (geo_ref[0, 1]
+              + jax.lax.broadcasted_iota(jnp.int32, (wrows, w), 1))
+        b_xm = jnp.concatenate([zrow, beta[:-1]], axis=0)
+        y_xm = jnp.concatenate([zrow, Y[:-1]], axis=0)
+        b_ym = jnp.concatenate([zcol, beta[:, :-1]], axis=1)
+        y_ym = jnp.concatenate([zcol, Y[:, :-1]], axis=1)
+        a_x, b_x, d_x, a_y, b_y, d_y = stencil_coefficients(
+            beta, Y, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy, absorbing)
+        src = ((gi == geo_ref[0, 2])
+               & (gj == geo_ref[0, 3])).astype(jnp.float32)
         t0 = t0_ref[0, 0]
         band = slice(k, k + bb)
 
@@ -363,13 +378,7 @@ def _banded_round_kernel(t0_ref, pulse_ref,
         vxw=pltpu.VMEM((wrows, w), jnp.float32),
         vyw=pltpu.VMEM((wrows, w), jnp.float32),
         bw=pltpu.VMEM((wrows, w), jnp.float32),
-        axw=pltpu.VMEM((wrows, w), jnp.float32),
-        bxw=pltpu.VMEM((wrows, w), jnp.float32),
-        dxw=pltpu.VMEM((wrows, w), jnp.float32),
-        ayw=pltpu.VMEM((wrows, w), jnp.float32),
-        byw=pltpu.VMEM((wrows, w), jnp.float32),
-        dyw=pltpu.VMEM((wrows, w), jnp.float32),
-        srcw=pltpu.VMEM((wrows, w), jnp.float32),
+        yw=pltpu.VMEM((wrows, w), jnp.float32),
         onset_t=pltpu.VMEM((bb, w), jnp.float32),
         fx_t=pltpu.VMEM((bb, w), jnp.float32),
         fy_t=pltpu.VMEM((bb, w), jnp.float32),
@@ -377,7 +386,7 @@ def _banded_round_kernel(t0_ref, pulse_ref,
         ew_t=pltpu.VMEM((bb, w), jnp.float32),
         et_t=pltpu.VMEM((bb, w), jnp.float32),
         rec_t=pltpu.VMEM((k, bb, w), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((17,)),
+        sems=pltpu.SemaphoreType.DMA((11,)),
     )
 
 
@@ -452,15 +461,14 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     if banded:
         # lane-pad the whole banded data path: Mosaic DMA slices must be
         # lane-aligned, so every DMA'd array spans W columns (the 128
-        # multiple covering interior + 2k ghosts). Zero stencil
-        # coefficients keep the pad columns exactly zero — bit parity with
-        # the fused round is preserved — and local_sim crops columns
-        # [k, k+by) after the rounds. Known trade-off: the 8
-        # round-invariant operands (beta, 6 coefficients, src) re-stream
-        # per band per round instead of refolding in-window like
-        # fdtd_tiled — ~1.5 B/cell/step of extra HBM reads at k=16 (~2 %
-        # of the measured pass) in exchange for keeping the fold
-        # single-sourced at the XLA level.
+        # multiple covering interior + 2k ghosts). beta = 0 AND Y = 0 in
+        # the pad fold every in-window coefficient there to exactly zero,
+        # so pads stay exactly silent — bit parity with the fused round is
+        # preserved — and local_sim crops columns [k, k+by) after the
+        # rounds. The kernel folds stencil coefficients IN-WINDOW from
+        # beta/Y + the shard origin (r4; like fdtd_tiled) instead of
+        # streaming 8 precomputed planes per band per round (the r3
+        # design) — the round-invariant HBM reads drop ~2x.
         W = -(-bye // 128) * 128
         bb = _pick_shard_band(bx, W, k, band_rows)
         # row-pad the interior to a band multiple (pad rows are appended
@@ -493,6 +501,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                                memory_space=pltpu.SMEM)
         smem_pulse = pl.BlockSpec((k, 1), lambda b: (0, 0),
                                   memory_space=pltpu.SMEM)
+        smem_geo = pl.BlockSpec((1, 4), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)
         run_round = pl.pallas_call(
             functools.partial(
                 _banded_round_kernel,
@@ -501,9 +511,9 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                 src_dir_n=float(params.source_dir_samples),
                 t_real=T, dry_n=params.dry_gain_samples,
                 wet_n=params.wet_gain_samples,
-                k=k, bb=bb, w=W),
+                k=k, bb=bb, w=W, gx=gx, gy=gy, absorbing=absorbing),
             grid=(bxp // bb,),
-            in_specs=[smem_t0, smem_pulse] + [hbm] * 17,
+            in_specs=[smem_t0, smem_pulse, smem_geo] + [hbm] * 11,
             out_specs=[hbm] * 10,
             out_shape=[jax.ShapeDtypeStruct((k, bxp, W), jnp.float32)]
             + [wide_t] * 9,
@@ -607,41 +617,46 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     def local_sim(beta, Y, pulse, lix, liy):
         px = jax.lax.axis_index("x")
         py = jax.lax.axis_index("y")
-        # global coordinates of the extended block (wide-solver layout)
-        gi = (px * bx - k
-              + jax.lax.broadcasted_iota(jnp.int32, (bxe, bye), 0))
-        gj = (py * by - k
-              + jax.lax.broadcasted_iota(jnp.int32, (bxe, bye), 1))
 
         beta_e = _exchange_halo(beta, k)
         y_e = _exchange_halo(Y, k)
-        zrow = jnp.zeros((1, bye), jnp.float32)
-        zcol = jnp.zeros((bxe, 1), jnp.float32)
-        b_xm = jnp.concatenate([zrow, beta_e[:-1]], axis=0)
-        y_xm = jnp.concatenate([zrow, y_e[:-1]], axis=0)
-        b_ym = jnp.concatenate([zcol, beta_e[:, :-1]], axis=1)
-        y_ym = jnp.concatenate([zcol, y_e[:, :-1]], axis=1)
-        # folded once per simulation; fringe-row shift artifacts are
-        # discarded by the k-step halo argument (parallel/solver.py:252-256)
-        a_x, b_x, d_x, a_y, b_y, d_y = stencil_coefficients(
-            beta_e, y_e, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy, absorbing)
-        src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
 
         if banded:
             # lane-pad everything the banded kernel DMAs to W columns and
             # row-pad the extended block to bxp + 2k rows (the pad rows go
             # AFTER the bottom ghosts, so ghosts stay stencil-adjacent to
             # the interior); accumulators run in window-column space
-            # (interior = rows [0, bx), columns [k, k+by))
+            # (interior = rows [0, bx), columns [k, k+by)). Coefficients
+            # fold IN-WINDOW inside the kernel (from beta/Y + the shard
+            # origin in geo) — beta = Y = 0 in the pads folds every pad
+            # coefficient to zero, keeping pads exactly silent.
             def widen(a):
                 return jnp.pad(a, ((0, bxp - bx), (0, W - bye)))
 
             beta_e = widen(beta_e)
-            a_x, b_x, d_x = widen(a_x), widen(b_x), widen(d_x)
-            a_y, b_y, d_y = widen(a_y), widen(b_y), widen(d_y)
-            src_mask = widen(src_mask)
+            y_e = widen(y_e)
+            geo = jnp.stack([px * bx - k, py * by - k,
+                             lix, liy]).astype(jnp.int32).reshape(1, 4)
             acc_rows, acc_w = bxp, W
         else:
+            # global coordinates of the extended block (wide-solver layout)
+            gi = (px * bx - k
+                  + jax.lax.broadcasted_iota(jnp.int32, (bxe, bye), 0))
+            gj = (py * by - k
+                  + jax.lax.broadcasted_iota(jnp.int32, (bxe, bye), 1))
+            zrow = jnp.zeros((1, bye), jnp.float32)
+            zcol = jnp.zeros((bxe, 1), jnp.float32)
+            b_xm = jnp.concatenate([zrow, beta_e[:-1]], axis=0)
+            y_xm = jnp.concatenate([zrow, y_e[:-1]], axis=0)
+            b_ym = jnp.concatenate([zcol, beta_e[:, :-1]], axis=1)
+            y_ym = jnp.concatenate([zcol, y_e[:, :-1]], axis=1)
+            # folded once per simulation; fringe-row shift artifacts are
+            # discarded by the k-step halo argument
+            # (parallel/solver.py:252-256)
+            a_x, b_x, d_x, a_y, b_y, d_y = stencil_coefficients(
+                beta_e, y_e, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy,
+                absorbing)
+            src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
             acc_rows, acc_w = bx, by
         z_state = jnp.zeros((bx, by), jnp.float32)
         z_int = jnp.zeros((acc_rows, acc_w), jnp.float32)
@@ -658,10 +673,15 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             vy_e = _exchange_halo(vy_i, k)
             if banded:
                 p_e, vx_e, vy_e = widen(p_e), widen(vx_e), widen(vy_e)
-            (rec, p2, vx2, vy2, onset2, fx2, fy2,
-             ed2, ew2, et2) = run_round(
-                t0, pulse_k, beta_e, a_x, b_x, d_x, a_y, b_y, d_y,
-                src_mask, p_e, vx_e, vy_e, onset, fx, fy, ed, ew, et)
+                (rec, p2, vx2, vy2, onset2, fx2, fy2,
+                 ed2, ew2, et2) = run_round(
+                    t0, pulse_k, geo, beta_e, y_e,
+                    p_e, vx_e, vy_e, onset, fx, fy, ed, ew, et)
+            else:
+                (rec, p2, vx2, vy2, onset2, fx2, fy2,
+                 ed2, ew2, et2) = run_round(
+                    t0, pulse_k, beta_e, a_x, b_x, d_x, a_y, b_y, d_y,
+                    src_mask, p_e, vx_e, vy_e, onset, fx, fy, ed, ew, et)
             if banded:
                 p2 = p2[:bx, k:k + by]
                 vx2 = vx2[:bx, k:k + by]
