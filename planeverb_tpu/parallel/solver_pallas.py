@@ -402,25 +402,30 @@ def _pick_shard_band(bx: int, w: int, k: int,
     temporaries) plus the accumulator tiles and the k-step recording slab —
     fits the budget.
 
-    The budget is deliberately conservative (4 MB, not the 10+ MB that
-    fits): Mosaic compile time explodes with window height — measured on a
-    459x459 shard at W=512/k=16, a 48-row window (bb=16) compiles in
-    seconds at 9.4 G cell-updates/s while 96-row (bb=32) and 104-row
-    (bb=72) windows take 12-14 MINUTES for only 10.5/11.0 G. Callers that
-    amortize one compile over a long deployment can pass ``band_rows``
-    explicitly to buy that last ~15 %."""
+    History: the r3 kernel (11 DMA'd planes per window) made Mosaic
+    compile time explode with window height (12-14 MINUTES at bb=32), so
+    the budget was pinned to a conservative 4 MB picking bb=16. The r4
+    in-window coefficient fold shrank the kernel to 5 DMA'd planes and the
+    compile explosion vanished (bb=32/48 compile in SECONDS on v5e), so
+    the budget now targets the measured sweet spot — the same 459x459
+    shard sweep gives bb=16 -> 10.8 G, bb=24 -> 12.0 G, bb=32 -> 12.7 G,
+    bb=48 -> 13.5 G (less redundant halo-row compute per band)."""
     if band_rows is not None:
         if band_rows <= 0:
             raise ValueError(f"band_rows {band_rows} must be positive")
         return band_rows
-    budget = 4 << 20
+    budget = 7 << 20
 
     def footprint(bb):
-        return ((bb + 2 * k) * 26 + bb * 14 + k * bb) * w * 4
+        return ((bb + 2 * k) * 20 + bb * 14 + k * bb) * w * 4
 
     bb = 8
     while bb < bx and footprint(bb + 8) <= budget:
         bb += 8
+    # cap at the largest band height validated on hardware (the 459^2
+    # sweep topped out at 48; beyond-measured windows stay opt-in via
+    # band_rows)
+    bb = min(bb, 48)
     return min(bb, max(8, -(-bx // 8) * 8))
 
 

@@ -331,7 +331,8 @@ def test_shard_band_pick_and_vmem_routing():
         _pick_shard_band(64, 256, 16, 0)
     bb = _pick_shard_band(464, 512, 16, None)           # auto: 8-aligned,
     assert bb % 8 == 0 and bb >= 8                      # VMEM-bounded, and
-    assert ((bb + 32) * 26 + 30 * bb) * 512 * 4 <= 4 << 20  # compile-small
+    assert ((bb + 32) * 20 + 30 * bb) * 512 * 4 <= 7 << 20  # capped at the
+    assert bb <= 48                                     # measured sweet spot
     assert _pick_shard_band(16, 512, 16, None) == 16    # small shard: 1 band
     # the headline 192x192 shard fits VMEM; a 459x459 shard does not
     assert sharded_kernel_vmem_bytes(192, 192, 16, 16) <= _VMEM_BUDGET_BYTES
