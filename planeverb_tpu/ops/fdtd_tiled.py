@@ -270,14 +270,20 @@ def _pick_band(nx: int, npy: int, k: int, band_rows: int | None) -> int:
 
     Beyond the explicit scratch (5 window + 6 tile + k record rows), Mosaic
     stacks the fori_loop carries and body temporaries (~20 more window-sized
-    arrays), so budget ~6 MB with a generous per-row multiplier.
+    arrays). r4 sweep on the 459^2 workload (npy=512, k=16): ~40-row bands
+    (the old 6 MB budget) -> 18.1 G, 64 -> 18.6 G, 96 -> 20.3 G
+    cell-updates/s — taller bands amortize the k halo rows' redundant
+    compute, and the 5-plane kernel compiles in seconds at any height —
+    so the budget targets ~96 rows on 512-wide grids, capped at the
+    largest hardware-validated height.
     """
     if band_rows is not None:
         return max(_SUBLANE, pad_tile(band_rows, _SUBLANE))
-    budget = 6 << 20
+    budget = 12 << 20
     per_row = (24 + k) * npy * 4
     bx = max(_SUBLANE, (budget // per_row) - 2 * k)
     bx = max(_SUBLANE, (bx // _SUBLANE) * _SUBLANE)
+    bx = min(bx, 96)
     return min(bx, pad_tile(nx, _SUBLANE))
 
 
