@@ -216,7 +216,7 @@ def main() -> None:
         # compiler at 2.16e9 elements; fdtd_pallas.check_recording_elements
         # guards it) — ~8 GB f32 recording on the 16 GB chip. Larger worlds
         # shard over a mesh (per-shard recordings divide by chip count).
-        return _tiled(126.0, None, reps=2, chain=4)
+        return _tiled(126.0, None, reps=4, chain=6)
 
     # --- pure device time: K data-dependent passes inside ONE XLA program
     # (one dispatch, one fetch) — no tunnel dispatch in the measured region.
