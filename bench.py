@@ -222,7 +222,7 @@ def main() -> None:
     # (one dispatch, one fetch) — no tunnel dispatch in the measured region.
     def _scan_slope(one_pass):
         """Paired in-program-scan slope of ``one_pass(carry) -> scalar``:
-        (t_22 - t_2)/20 per pass, median of 5 reps. Seeds offset from the
+        (t_42 - t_2)/40 per pass, median of 9 reps. Seeds offset from the
         warm-up inputs keep the tunnel's relay cache out (CLAUDE.md); a
         slope outside (0, mean_long] means fetch jitter beat the delta and
         falls back to the long-chain mean (same guard as
@@ -275,6 +275,7 @@ def main() -> None:
             "what": "sim+moments, 40-pass in-program scan slope",
             "wall_ms": round(t * 1e3, 3),
             "wall_ms_spread": spread,
+            "wall_s_raw": t,     # unrounded, for derived rows (headline)
             "gcups": round(cell_updates / t / 1e9, 2),
         }
 
@@ -333,8 +334,11 @@ def main() -> None:
     # --- multi-listener engine mode: B listeners DATA-PARALLEL inside the
     # batched fused kernel (one geometry/coefficient load for all views,
     # ops/fdtd_pallas.py::pipeline_auto_batch), full DOA per view, one
-    # dispatch + one packed fetch. The VERDICT r3 target:
-    # ms_per_listener <= 0.6 x pipeline_wall_s at B=4.
+    # dispatch + one packed fetch. vs_single_pipeline compares device
+    # scan slopes on BOTH sides (multi/B vs one pipeline) — ~1.0 is the
+    # data-parallel ideal; see the row note for how this relates to the
+    # r3 "0.6 x pipeline_wall_s" target, which was defined against the
+    # r3 dispatch-inclusive wall.
     def _multi_listener():
         from planeverb_tpu.core.context import (_pipeline_packed,
                                                 _pipeline_packed_multi)
@@ -503,7 +507,7 @@ def main() -> None:
     # tunnel. sim_wall_s keeps the dispatch-inclusive number.
     dev_row = extras.get("device_throughput", {})
     if "wall_ms" in dev_row:
-        rate = cell_updates / (dev_row["wall_ms"] * 1e-3)
+        rate = cell_updates / dev_row.pop("wall_s_raw")
         basis = "device scan slope (dispatch excluded; sim_wall_s is the " \
                 "tunnel-dispatch-inclusive slope)"
     else:

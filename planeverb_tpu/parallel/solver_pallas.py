@@ -227,10 +227,18 @@ def _banded_round_kernel(t0_ref, pulse_ref, geo_ref,
     Every array here spans the FULL lane-padded extended width ``w``
     (a 128 multiple covering interior + y ghosts + alignment pad): Mosaic
     requires DMA slices to be lane-aligned, so the lane dimension is never
-    sliced — callers pad the extended arrays to ``w`` columns (beta = 0
-    AND Y = 0 in the pad fold every coefficient there to exactly zero, so
-    pads stay exactly silent, preserving bit parity with the fused round)
-    and crop columns [k, k+by) afterwards. Row DMAs stay aligned as long
+    sliced — callers pad the extended arrays to ``w`` columns and crop
+    columns [k, k+by) afterwards. Pad cells are NOT guaranteed silent:
+    beta = Y = 0 zeroes the wall terms there, but the fold's edge-ABC
+    overrides (gi == gx / gj == gy) and the source mask are
+    beta-independent, and on multi-shard meshes pad cells carry real
+    global coordinates past the shard edge — a pad cell can therefore
+    develop nonzero velocity. Correctness rests on the cone argument
+    alone: pads start each round at exactly zero (the caller re-pads
+    after every halo exchange) and sit >= k+1 cells from the interior,
+    so any in-round pad activity cannot reach a surviving cell within
+    the k steps of a round (verified bit-equal to the fused rounds on
+    v5e and on multi-shard CPU meshes). Row DMAs stay aligned as long
     as ``bb`` and ``k`` are both multiples of 8 (reads slice at offsets
     tb*bb; the round-end writes slice the VMEM window at row offset k) —
     :func:`_pick_shard_band` and the default halo=16 satisfy both.
@@ -405,19 +413,23 @@ def _pick_shard_band(bx: int, w: int, k: int,
     History: the r3 kernel (11 DMA'd planes per window) made Mosaic
     compile time explode with window height (12-14 MINUTES at bb=32), so
     the budget was pinned to a conservative 4 MB picking bb=16. The r4
-    in-window coefficient fold shrank the kernel to 5 DMA'd planes and the
-    compile explosion vanished (bb=32/48 compile in SECONDS on v5e), so
-    the budget now targets the measured sweet spot — the same 459x459
+    in-window coefficient fold shrank the kernel to 5 DMA'd planes — the
+    compile explosion vanished (bb=32/48 compile in SECONDS on v5e) — so
+    the budget now targets the measured sweet spot: the same 459x459
     shard sweep gives bb=16 -> 10.8 G, bb=24 -> 12.0 G, bb=32 -> 12.7 G,
-    bb=48 -> 13.5 G (less redundant halo-row compute per band)."""
+    bb=48 -> 13.5 G (less redundant halo-row compute per band). The
+    footprint still counts ~26 window-height live arrays: the folded
+    coefficient planes stopped being DMA windows but remain live values
+    across the k-step loop (5 windows + ~7 fold results/temporaries + 9
+    fori carries + slack)."""
     if band_rows is not None:
         if band_rows <= 0:
             raise ValueError(f"band_rows {band_rows} must be positive")
         return band_rows
-    budget = 7 << 20
+    budget = 15 << 19   # 7.5 MB
 
     def footprint(bb):
-        return ((bb + 2 * k) * 20 + bb * 14 + k * bb) * w * 4
+        return ((bb + 2 * k) * 26 + bb * 14 + k * bb) * w * 4
 
     bb = 8
     while bb < bx and footprint(bb + 8) <= budget:
@@ -466,14 +478,15 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     if banded:
         # lane-pad the whole banded data path: Mosaic DMA slices must be
         # lane-aligned, so every DMA'd array spans W columns (the 128
-        # multiple covering interior + 2k ghosts). beta = 0 AND Y = 0 in
-        # the pad fold every in-window coefficient there to exactly zero,
-        # so pads stay exactly silent — bit parity with the fused round is
-        # preserved — and local_sim crops columns [k, k+by) after the
-        # rounds. The kernel folds stencil coefficients IN-WINDOW from
-        # beta/Y + the shard origin (r4; like fdtd_tiled) instead of
-        # streaming 8 precomputed planes per band per round (the r3
-        # design) — the round-invariant HBM reads drop ~2x.
+        # multiple covering interior + 2k ghosts); local_sim crops columns
+        # [k, k+by) after the rounds. The kernel folds stencil
+        # coefficients IN-WINDOW from beta/Y + the shard origin (r4; like
+        # fdtd_tiled) instead of streaming 8 precomputed planes per band
+        # per round (the r3 design) — the round-invariant HBM reads drop
+        # ~2x. Pads are zeroed at every round start and sit >= k+1 cells
+        # from the interior, which is what preserves bit parity with the
+        # fused round (see _banded_round_kernel docstring — in-round pad
+        # activity is possible but cannot reach a surviving cell).
         W = -(-bye // 128) * 128
         bb = _pick_shard_band(bx, W, k, band_rows)
         # row-pad the interior to a band multiple (pad rows are appended
@@ -633,8 +646,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             # the interior); accumulators run in window-column space
             # (interior = rows [0, bx), columns [k, k+by)). Coefficients
             # fold IN-WINDOW inside the kernel (from beta/Y + the shard
-            # origin in geo) — beta = Y = 0 in the pads folds every pad
-            # coefficient to zero, keeping pads exactly silent.
+            # origin in geo); re-padding with zeros EVERY round is
+            # load-bearing — see the kernel docstring's pad-cone argument.
             def widen(a):
                 return jnp.pad(a, ((0, bxp - bx), (0, W - bye)))
 
