@@ -250,13 +250,22 @@ def cmd_play(args) -> int:
         raise SystemExit("error: source position has no valid parameters")
 
     audio, rate = read_wav(args.infile)
+    sink = None
+    if args.device:
+        # live audio output through the optional sounddevice/PortAudio
+        # stack (the reference sandbox's own audio path, AudioCore.cpp:28)
+        from planeverb_tpu.sandbox.realtime import AudioDeviceSink
+
+        sink = AudioDeviceSink(rate=rate, frames=args.block)
     player = RealtimePlayer(ctx, eid, audio, rate, frames=args.block,
                             use_planeverb=not args.bypass,
-                            native=not args.python_dsp)
+                            native=not args.python_dsp, sink=sink)
     try:
         report = player.run(realtime=not args.no_pace)
     finally:
         player.close()
+        if sink is not None:
+            sink.close()
     if args.output:
         write_wav(args.output, report.output, rate)
     s = report.summary()
@@ -538,6 +547,9 @@ def main(argv=None) -> int:
                    help="use the Python DSP renderer instead of C++")
     p.add_argument("--no-pace", action="store_true",
                    help="skip deadline sleeps (budget measurement mode)")
+    p.add_argument("--device", action="store_true",
+                   help="play live through an audio device (needs the "
+                        "optional sounddevice package / PortAudio)")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("sweep", help="WetDryDoorPlot-style door sweep to CSV")

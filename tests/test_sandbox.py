@@ -201,3 +201,22 @@ def test_cli_scale_project(capsys):
             for line in capsys.readouterr().out.strip().splitlines()]
     assert rows[0]["devices"] == 1 and rows[0]["efficiency"] == 1.0
     assert all(0.0 < r["efficiency"] <= 1.0 for r in rows)
+
+
+def test_cli_play_device_flag_guarded(tmp_path):
+    """`play --device` routes through AudioDeviceSink, which fails loudly
+    with install guidance when sounddevice is absent (this CI image)."""
+    import importlib.util
+
+    import numpy as np
+
+    from planeverb_tpu.sandbox.cli import main
+    from planeverb_tpu.sandbox.wav import write_wav
+
+    if importlib.util.find_spec("sounddevice") is not None:
+        pytest.skip("sounddevice installed; no audio hardware in CI")
+    wav = tmp_path / "in.wav"
+    write_wav(str(wav), np.zeros((512, 2), np.float32), 44100)
+    with pytest.raises(RuntimeError, match="sounddevice"):
+        main(["play", "SmallRoom", "--source", "6,5", "--in", str(wav),
+              "--device", "--no-pace", "-o", ""])
