@@ -385,6 +385,37 @@ def main() -> None:
                     "(r3: 5.45 ms/listener)",
         }
 
+    # --- the DOA pass as an artifact row: full pipeline with vs without
+    # directions, device scan slopes. Pins the r4 gather-free rewrite's
+    # claim (the r3 pointer-jumping pass cost ~2.2 ms of [n]-gathers here).
+    def _doa_cost():
+        def with_doa(carry):
+            _, out = pipeline_auto(params, beta, refl, pulse * (1.0 + carry),
+                                   lix, liy, jnp.float32(1.0),
+                                   jnp.float32(12.5), jnp.float32(12.5),
+                                   compute_directions=True)
+            return out.occlusion[5, 5] + out.direction[5, 5, 0]
+
+        def without_doa(carry):
+            _, out = pipeline_auto(params, beta, refl, pulse * (1.0 + carry),
+                                   lix, liy, jnp.float32(1.0),
+                                   jnp.float32(12.5), jnp.float32(12.5),
+                                   compute_directions=False)
+            return out.occlusion[5, 5]
+
+        t1, sp1 = _scan_slope(with_doa)
+        t0, sp0 = _scan_slope(without_doa)
+        return {
+            "pipeline_with_doa_ms": round(t1 * 1e3, 3),
+            "pipeline_with_doa_ms_spread": sp1,
+            "pipeline_without_doa_ms": round(t0 * 1e3, 3),
+            "pipeline_without_doa_ms_spread": sp0,
+            "doa_ms": round((t1 - t0) * 1e3, 3),
+            "note": "gather-free shift-select label propagation (r4); "
+                    "the r3 pointer-jumping design measured ~250 us per "
+                    "map squaring x 8 squarings on this grid",
+        }
+
     # --- beyond-VMEM shard through the ENGINE's sharded path: when a
     # shard's round kernel exceeds the VMEM budget, simulate_moments_sharded
     # auto-routes to the band-streamed round kernel (HBM state,
@@ -459,6 +490,7 @@ def main() -> None:
                         ("device_throughput", _device_throughput),
                         ("bf16_mode", _bf16_mode),
                         ("multi_listener", _multi_listener),
+                        ("doa_cost", _doa_cost),
                         ("sharded_pallas_1x1", _sharded_pallas),
                         ("sharded_banded_1x1", _sharded_banded),
                         ("tiled_large_grid", _tiled_large),
