@@ -18,11 +18,13 @@ Per round of k steps each shard pays one halo exchange (4 ppermute slabs) and
 one kernel launch instead of k of each — the collective count of the wide
 solver with the per-step cost of the fused kernel. Stencil coefficients are
 folded once per simulation (they are static per geometry) on the
-ghost-extended block, exactly as in the wide solver, so ghost cells evolve
-bit-identically to their owning shard's real cells between exchanges.
-Measured on one v5e chip (1x1 mesh, 192x192 @ 1187 steps): 5.9 ms/pass,
-bit-identical to the 4.7 ms fused single-chip kernel — the ~25% round
-machinery is what multi-chip scaling buys against.
+ghost-extended block (or in-window for the banded path), so ghost cells
+evolve bit-identically to their owning shard's real cells between
+exchanges. Measured on one v5e chip (1x1 mesh, 192x192 @ 1187 steps, r4):
+~4 ms/pass, bit-identical to the 0.76 ms fused single-chip device pass —
+the per-round machinery (state round-trips + ppermute + launch, ~75
+rounds at halo=16) is what multi-chip scaling buys against; BASELINE.md
+"Projected scaling" models the resulting efficiency per chip count.
 
 Like the fused kernel, every round also streams the analyzer's windowed
 energies (dry/wet/total) in-kernel, and ``simulate_moments_sharded`` adds
