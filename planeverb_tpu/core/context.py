@@ -160,19 +160,20 @@ def _pipeline_packed_multi(params, beta, refl, pulse, cells, efree, lpos,
     single-listener).
     """
     from planeverb_tpu.ops.fdtd_pallas import (MAX_BUFFER_ELEMENTS,
-                                               fits_vmem, pad_tile,
+                                               batch_recording_elements,
+                                               fits_vmem,
                                                pipeline_auto_batch)
 
     # the batched kernel shares one [B*T_pad, npx, npy] recording buffer;
     # listener counts that would overflow the 2^31-1 single-buffer element
     # limit fall back to the sequential lax.map below (one recording at a
-    # time — slower per listener, but any B works)
+    # time — slower per listener, but any B works). The footprint comes
+    # from the kernel's own batch_recording_elements so the guard cannot
+    # drift from the batched kernel's padding/chunk (ADVICE r4).
     B = cells.shape[0]
-    batch_elems = (B * pad_tile(params.response_length, 16)
-                   * pad_tile(params.nx, 8) * pad_tile(params.ny, 128))
     if (jax.devices()[0].platform == "tpu"
             and fits_vmem(params, state_dtype=state_dtype)
-            and batch_elems <= MAX_BUFFER_ELEMENTS):
+            and batch_recording_elements(params, B) <= MAX_BUFFER_ELEMENTS):
         out = pipeline_auto_batch(
             params, beta, refl, pulse, cells, efree, lpos,
             compute_directions=compute_directions, state_dtype=state_dtype)
@@ -282,6 +283,30 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def _validate_mesh_halo(bx: int, by: int, halo: int, on_tpu: bool) -> None:
+    """Mirror the banded round kernel's DMA-alignment requirement at
+    Context construction: shards beyond the VMEM budget route to the
+    banded kernel, whose row slices need ``halo % 8 == 0`` on TPU
+    (parallel/solver_pallas.py) — without this, an explicit
+    ``Context(halo=12)`` on a big-shard mesh fails at the first step()'s
+    kernel compile deep inside the engine instead (ADVICE r4). The
+    auto-picked halo is always a power of two >= 8 whenever a shard can
+    exceed VMEM, so only explicit user halos can trip this."""
+    if not on_tpu or halo % 8 == 0:
+        return
+    from planeverb_tpu.ops.fdtd_pallas import _VMEM_BUDGET_BYTES
+    from planeverb_tpu.parallel.solver_pallas import sharded_kernel_vmem_bytes
+
+    if (sharded_kernel_vmem_bytes(bx, by, halo, min(halo, 16))
+            > _VMEM_BUDGET_BYTES):
+        raise ValueError(
+            f"halo {halo} must be a multiple of 8: the ({bx}, {by}) "
+            f"per-shard block exceeds the VMEM budget, so steps route to "
+            f"the banded round kernel, whose DMA bands need "
+            f"sublane-aligned row slices (use halo=8/16/24/... or "
+            f"enlarge the mesh)")
+
+
 # grids above this cell count compute DOA lazily per query (host walk)
 # instead of the full-grid device pass — see ops/doa.py::walk_direction.
 # r4 raised the threshold 16x: the gather-free DOA rewrite made the device
@@ -359,9 +384,10 @@ class Context:
             if not (1 <= halo <= min(bx, by)):
                 raise ValueError(f"halo {halo} exceeds per-shard block "
                                  f"({bx}, {by})")
-            self._halo = halo
             # interpret-mode Pallas off-TPU (CPU test meshes)
             self._interpret = mesh.devices.flat[0].platform != "tpu"
+            _validate_mesh_halo(bx, by, halo, on_tpu=not self._interpret)
+            self._halo = halo
         if publish not in ("grids", "cells"):
             raise ValueError(f"unknown publish mode {publish!r}")
         self._publish_cells = publish == "cells"
@@ -383,6 +409,7 @@ class Context:
         self._listeners_multi: list | None = None
         self._listener_lock = threading.Lock()
         self._coverage_warned = False
+        self._coverage_checked = False   # first-step check done?
 
         # calibration (FreeGrid analog) — one empty-grid sim at init
         with self.timer.stage("calibration"):
@@ -567,6 +594,14 @@ class Context:
         with self._listener_lock:
             lx, ly, lz = self._listener
             multi = self._listeners_multi
+        if not self._coverage_checked:
+            # a Context stepped with the never-set default listener
+            # ((0,0,0) — a grid corner, the coverage worst case) would
+            # otherwise skip the warning set_listener_position gives
+            # (ADVICE r4): evaluate once for the active listener(s)
+            self._coverage_checked = True
+            for px, _, pz in (multi or [(lx, ly, lz)]):
+                self._warn_if_uncovered(px, pz)
         self._sync_fields()
         if multi is not None:
             self._step_multi(multi)

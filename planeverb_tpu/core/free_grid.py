@@ -20,7 +20,11 @@ sub-f32 numerical-dispersion precursors (pinned by
 tests/test_analyzer.py::test_free_field_fixed_domain_matches_full_grid),
 the cache key collapses across grid sizes, and a mesh/tiled Context inits
 without a full-grid single-device sim. Grids at or below CAL_SIZE_M keep
-the reference's exact full-grid behavior (bit-compatible with r01-r03).
+the reference's exact full-grid behavior (bit-compatible with r01-r03;
+since CAL_SIZE_M = 25 m that covers every world size the reference's own
+sandbox/demos use — only larger-than-reference worlds see the fixed
+domain, whose value sits within the per-size listener-rounding scatter
+the full-grid scheme already has, see _cal_params).
 """
 
 from __future__ import annotations
@@ -37,10 +41,15 @@ from planeverb_tpu.ops.fdtd_pallas import simulate_auto
 __all__ = ["calibrate_free_field", "clear_cache", "CAL_SIZE_M"]
 
 # Fixed calibration-domain side for large grids. Physics needs the boundary
-# > 2.7 m from the centered listener (see module docstring); 14 m puts it at
-# 7 m — 4+ m of margin against numerical-dispersion precursors — while
-# keeping the init sim small (107x107 cells at the 750 Hz extreme).
-CAL_SIZE_M = 14.0
+# > 2.7 m from the centered listener (see module docstring); any value
+# >= ~6 m works. 25.0 is chosen so every grid the REFERENCE can express
+# (its sandbox/demo worlds are <= 25 m, PlaneverbSandbox/src/main.cpp:17)
+# calibrates full-grid, bit-identical to FreeGrid.cpp:84 — r4's 14 m value
+# silently shifted EFree ~2-3% for 14-25 m worlds when the clamped domain
+# landed in the other listener-rounding class (ADVICE r4; see _cal_params).
+# The init sim this costs at the 750 Hz extreme is one 192x192 pass, cached
+# across grid sizes.
+CAL_SIZE_M = 25.0
 
 _CACHE: dict[tuple, float] = {}
 

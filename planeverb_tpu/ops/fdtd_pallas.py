@@ -42,7 +42,7 @@ from planeverb_tpu.ops import fdtd as fdtd_scan
 
 __all__ = ["simulate_pallas", "simulate_moments_pallas", "simulate_auto",
            "pipeline_auto", "pad_tile", "simulate_moments_pallas_batch",
-           "pipeline_auto_batch"]
+           "pipeline_auto_batch", "batch_recording_elements"]
 
 _SUBLANE = 8
 _LANE = 128
@@ -72,6 +72,19 @@ def check_recording_elements(t_pad: int, rows: int, cols: int,
             f"limit of one TPU chip. Shard the grid over a device mesh "
             f"(Context(mesh=...) — per-shard recordings divide by the chip "
             f"count), lower the resolution, or shrink the grid/IR length.")
+
+
+def batch_recording_elements(params: GridParams, B: int,
+                             chunk: int = 16) -> int:
+    """Elements of the batched fused kernel's ONE shared
+    [B*T_pad, npx, npy] recording buffer (:func:`_simulate_impl_batch`).
+
+    The 2^31-1 single-buffer guard and the multi-listener batch/fallback
+    routing (core/context.py::_pipeline_packed_multi) both derive from
+    this definition, so a change to the batched kernel's padding or chunk
+    cannot drift them apart (ADVICE r4)."""
+    return (B * pad_tile(params.response_length, chunk)
+            * pad_tile(params.nx, _SUBLANE) * pad_tile(params.ny, _LANE))
 
 
 def _steps_per_body(chunk: int, want: int = 4) -> int:
@@ -478,7 +491,9 @@ def _simulate_impl_batch(params: GridParams, beta, refl, pulse,
     B = lcells.shape[0]
     n_chunks = T_pad // chunk
     # B listeners share one flat recording buffer; the 2^31-1 element limit
-    # applies to it as a whole
+    # applies to it as a whole (same footprint definition the context-side
+    # fallback guard uses — batch_recording_elements)
+    assert batch_recording_elements(params, B, chunk) == B * T_pad * npx * npy
     check_recording_elements(B * T_pad, npx, npy, "batched fused solver")
 
     beta_p = jnp.zeros((npx, npy), jnp.float32).at[:nx, :ny].set(beta)

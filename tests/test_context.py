@@ -553,6 +553,39 @@ def test_listener_coverage_warning():
         ctx.set_listener_position(0.5, 0.0, 0.5)
 
 
+def test_default_listener_coverage_warning_on_first_step():
+    """A Context stepped with the never-set default listener ((0,0,0) — a
+    grid corner, the coverage worst case) gets the coverage warning on its
+    first step() (ADVICE r4: previously only set_listener_position*
+    evaluated it, so the default listener silently published never-found
+    sentinels for far cells)."""
+    import warnings
+
+    cfg = pv.PlaneverbConfig(grid_size_x=40.0, grid_size_y=40.0,
+                             grid_resolution=275)
+    ctx = pv.Context(cfg)
+    with pytest.warns(RuntimeWarning, match="covers"):
+        ctx.step()
+    with warnings.catch_warnings():           # once per context
+        warnings.simplefilter("error")
+        ctx.step()
+
+
+def test_mesh_halo_alignment_validated_at_init():
+    """An explicit non-multiple-of-8 halo on a mesh whose shards exceed the
+    VMEM budget (banded-round routing) is rejected at Context construction
+    on TPU, mirroring the kernel-side DMA-alignment check (ADVICE r4). CPU
+    meshes run interpret-mode Pallas, which has no alignment requirement."""
+    from planeverb_tpu.core.context import _validate_mesh_halo
+
+    # 1000x1000-cell shard: far beyond the VMEM budget -> banded routing
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _validate_mesh_halo(1000, 1000, 12, on_tpu=True)
+    _validate_mesh_halo(1000, 1000, 16, on_tpu=True)   # aligned: fine
+    _validate_mesh_halo(1000, 1000, 12, on_tpu=False)  # interpret: fine
+    _validate_mesh_halo(100, 100, 12, on_tpu=True)     # fits VMEM: fine
+
+
 def test_lazy_doa_threshold_r4():
     """After the gather-free DOA rewrite, full direction grids publish on
     device by default up to ~1M cells (LAZY_DOA_CELLS raised 16x in r4);
