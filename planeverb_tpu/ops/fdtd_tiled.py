@@ -485,6 +485,40 @@ def _tiled_moments_kernel(onset_hbm, rec_hbm,
     )
 
 
+def _tiled_rt60_moments(params: GridParams, onset, rec_pad,
+                        band_rows: int | None, halo: int,
+                        interpret: bool):
+    """Backward band-streamed RT60 regression pass over an uncropped
+    [T_pad, npx, npy] recording: returns (s0, s1). Shared by
+    :func:`simulate_moments_tiled` and the sharded solver's exchange-free
+    1x1-mesh delegation (parallel/solver_pallas.py)."""
+    npx, npy = onset.shape
+    k = halo
+    bx = _pick_band(params.nx, npy, k, band_rows)
+    bx = min(bx, npx)
+    ntx = npx // bx
+    T = params.response_length
+    n_rounds = -(-T // k)
+
+    kernel = functools.partial(
+        _tiled_moments_kernel,
+        bx=bx, k=k, t_real=T, dry_n=params.dry_gain_samples,
+        schro_off=params.schroeder_offset_samples, n_rounds=n_rounds)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    cell_shape = jax.ShapeDtypeStruct((npx, npy), jnp.float32)
+    s0, s1, _edc = pl.pallas_call(
+        kernel,
+        grid=(n_rounds, ntx),
+        in_specs=[any_spec, any_spec],
+        out_specs=[any_spec] * 3,
+        out_shape=[cell_shape, cell_shape, cell_shape],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(onset, rec_pad)
+    return s0, s1
+
+
 @functools.partial(jax.jit,
                    static_argnames=("params", "band_rows", "halo",
                                     "interpret", "return_pressure"))
@@ -511,30 +545,6 @@ def simulate_moments_tiled(params: GridParams, beta, refl, pulse,
                 else rec_pad[:0])
     res = FdtdResult(pressure=pressure, onset=onset,
                      flux_x=fx, flux_y=fy)
-    npx, npy = ed.shape
-    k = halo
-    bx = _pick_band(params.nx, npy, k, band_rows)
-    bx = min(bx, npx)
-    ntx = npx // bx
-    T = params.response_length
-    n_rounds = -(-T // k)
-    T_pad = n_rounds * k
-
-    kernel = functools.partial(
-        _tiled_moments_kernel,
-        bx=bx, k=k, t_real=T, dry_n=params.dry_gain_samples,
-        schro_off=params.schroeder_offset_samples, n_rounds=n_rounds)
-
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    cell_shape = jax.ShapeDtypeStruct((npx, npy), jnp.float32)
-    s0, s1, _edc = pl.pallas_call(
-        kernel,
-        grid=(n_rounds, ntx),
-        in_specs=[any_spec, any_spec],
-        out_specs=[any_spec] * 3,
-        out_shape=[cell_shape, cell_shape, cell_shape],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(res.onset, rec_pad)
-
+    s0, s1 = _tiled_rt60_moments(params, res.onset, rec_pad,
+                                 band_rows, halo, interpret)
     return res, Moments(e_dry=ed, e_wet=ew, e_total=et, s0=s0, s1=s1)
