@@ -100,10 +100,11 @@ def _pipeline_cells(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
 @functools.partial(jax.jit,
                    static_argnames=("params", "mesh", "nx_pad", "ny_pad",
                                     "halo", "interpret",
-                                    "compute_directions"))
+                                    "compute_directions", "overlap"))
 def _pipeline_packed_sharded(params, beta, refl, pulse, cix, ciy, efree,
                              lx, lz, mesh, nx_pad, ny_pad, halo,
-                             interpret, compute_directions: bool = True):
+                             interpret, compute_directions: bool = True,
+                             overlap: bool = False):
     """Multi-chip analog of :func:`_pipeline_packed`.
 
     Routes the step through ``parallel.pipeline_sharded`` (fused Pallas
@@ -119,22 +120,23 @@ def _pipeline_packed_sharded(params, beta, refl, pulse, cix, ciy, efree,
     res, out = pipeline_sharded(
         params, beta, refl, pulse, cix, ciy, mesh, nx_pad, ny_pad,
         efree, lx, lz, halo=halo, interpret=interpret,
-        compute_directions=compute_directions)
+        compute_directions=compute_directions, overlap=overlap)
     return res.pressure, _pack(out)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("params", "mesh", "nx_pad", "ny_pad",
                                     "halo", "interpret",
-                                    "compute_directions"))
+                                    "compute_directions", "overlap"))
 def _pipeline_cells_sharded(params, beta, refl, pulse, cix, ciy, efree,
                             lx, lz, cells, mesh, nx_pad, ny_pad, halo,
-                            interpret, compute_directions: bool = True):
+                            interpret, compute_directions: bool = True,
+                            overlap: bool = False):
     """Sharded counterpart of :func:`_pipeline_cells` (per-emitter rows)."""
     pressure, packed = _pipeline_packed_sharded(
         params, beta, refl, pulse, cix, ciy, efree, lx, lz,
         mesh, nx_pad, ny_pad, halo, interpret,
-        compute_directions=compute_directions)
+        compute_directions=compute_directions, overlap=overlap)
     rows = packed[cells[:, 0], cells[:, 1]]
     return pressure, packed, rows
 
@@ -211,11 +213,12 @@ def _pipeline_cells_multi(params, beta, refl, pulse, lcells, efree, lpos,
 @functools.partial(jax.jit,
                    static_argnames=("params", "mesh", "nx_pad", "ny_pad",
                                     "halo", "interpret",
-                                    "compute_directions"))
+                                    "compute_directions", "overlap"))
 def _pipeline_packed_multi_sharded(params, beta, refl, pulse, lcells, efree,
                                    lpos, mesh, nx_pad, ny_pad, halo,
                                    interpret,
-                                   compute_directions: bool = True):
+                                   compute_directions: bool = True,
+                                   overlap: bool = False):
     """Multi-chip counterpart of :func:`_pipeline_packed_multi`: B sharded
     pipelines composed in ONE jitted program -> [B, gx, gy, 9].
 
@@ -231,7 +234,7 @@ def _pipeline_packed_multi_sharded(params, beta, refl, pulse, lcells, efree,
             params, beta, refl, pulse, lcells[i, 0], lcells[i, 1],
             mesh, nx_pad, ny_pad, efree, lpos[i, 0], lpos[i, 1],
             halo=halo, interpret=interpret,
-            compute_directions=compute_directions)
+            compute_directions=compute_directions, overlap=overlap)
         packs.append(_pack(out))
     return jnp.stack(packs)
 
@@ -239,17 +242,18 @@ def _pipeline_packed_multi_sharded(params, beta, refl, pulse, lcells, efree,
 @functools.partial(jax.jit,
                    static_argnames=("params", "mesh", "nx_pad", "ny_pad",
                                     "halo", "interpret",
-                                    "compute_directions"))
+                                    "compute_directions", "overlap"))
 def _pipeline_cells_multi_sharded(params, beta, refl, pulse, lcells, efree,
                                   lpos, cells, mesh, nx_pad, ny_pad, halo,
                                   interpret,
-                                  compute_directions: bool = True):
+                                  compute_directions: bool = True,
+                                  overlap: bool = False):
     """Sharded multi-listener cells publish: (packed [B, gx, gy, 9] device,
     rows [B, Q, 9]) — one small fetch for all views."""
     packed = _pipeline_packed_multi_sharded(
         params, beta, refl, pulse, lcells, efree, lpos,
         mesh, nx_pad, ny_pad, halo, interpret,
-        compute_directions=compute_directions)
+        compute_directions=compute_directions, overlap=overlap)
     rows = packed[:, cells[:, 0], cells[:, 1]]
     return packed, rows
 
@@ -388,6 +392,23 @@ class Context:
             self._interpret = mesh.devices.flat[0].platform != "tpu"
             _validate_mesh_halo(bx, by, halo, on_tpu=not self._interpret)
             self._halo = halo
+            # auto-overlap on 1D ("x", N) meshes: the boundary-first round
+            # split hides the halo exchange under the interior kernel
+            # (parallel/solver_pallas.py::_overlap_impl). It is
+            # BIT-identical to the plain rounds (pinned by
+            # tests/test_parallel.py::test_sharded_overlap_matches_plain_
+            # rounds), so the engine opts in whenever the split's
+            # preconditions hold — users never choose.
+            from planeverb_tpu.ops.fdtd_pallas import _VMEM_BUDGET_BYTES
+            from planeverb_tpu.parallel.solver_pallas import (
+                sharded_kernel_vmem_bytes)
+
+            self._overlap = (
+                mesh.shape["y"] == 1 and mesh.shape["x"] > 1
+                and bx >= 3 * halo
+                and sharded_kernel_vmem_bytes(bx, by, halo, min(halo, 16),
+                                              kx=halo, ky=0)
+                <= _VMEM_BUDGET_BYTES)
         if publish not in ("grids", "cells"):
             raise ValueError(f"unknown publish mode {publish!r}")
         self._publish_cells = publish == "cells"
@@ -618,7 +639,8 @@ class Context:
                     jnp.int32(cix), jnp.int32(ciy), np.float32(self.efree),
                     np.float32(lx), np.float32(lz), self.mesh,
                     self._nx_pad, self._ny_pad, self._halo, self._interpret,
-                    compute_directions=not self._lazy_doa)
+                    compute_directions=not self._lazy_doa,
+                    overlap=self._overlap)
             else:
                 pressure, packed = _pipeline_packed(
                     self.params, self._beta, self._refl, self._pulse, cix,
@@ -661,7 +683,8 @@ class Context:
                         jnp.asarray(lcells), np.float32(self.efree),
                         jnp.asarray(lpos), jnp.asarray(cells),
                         self.mesh, self._nx_pad, self._ny_pad, self._halo,
-                        self._interpret, compute_directions=True)
+                        self._interpret, compute_directions=True,
+                        overlap=self._overlap)
                 else:
                     packed, rows = _pipeline_cells_multi(
                         p, self._beta, self._refl, self._pulse,
@@ -687,7 +710,8 @@ class Context:
                         jnp.asarray(lcells), np.float32(self.efree),
                         jnp.asarray(lpos), self.mesh, self._nx_pad,
                         self._ny_pad, self._halo, self._interpret,
-                        compute_directions=not self._lazy_doa)
+                        compute_directions=not self._lazy_doa,
+                        overlap=self._overlap)
                 else:
                     packed = _pipeline_packed_multi(
                         p, self._beta, self._refl, self._pulse,
@@ -736,7 +760,8 @@ class Context:
                     jnp.int32(cix), jnp.int32(ciy), np.float32(self.efree),
                     np.float32(lx), np.float32(lz), jnp.asarray(cells),
                     self.mesh, self._nx_pad, self._ny_pad, self._halo,
-                    self._interpret, compute_directions=True)
+                    self._interpret, compute_directions=True,
+                    overlap=self._overlap)
             else:
                 pressure, packed, rows = _pipeline_cells(
                     p, self._beta, self._refl, self._pulse, cix, ciy,

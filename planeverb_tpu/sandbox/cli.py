@@ -427,14 +427,19 @@ def cmd_scale(args) -> int:
     params = compute_grid_params(_config(args))
     if args.project:
         # projected pod-scale efficiency from the one-chip model
-        # (parallel/scaling.py::projected_efficiency; BASELINE.md
-        # "Projected scaling"): rate calibrated from the measured
-        # sharded_pallas_1x1 artifact row unless overridden
-        from planeverb_tpu.parallel.scaling import projected_efficiency
+        # (parallel/scaling.py::projected_efficiency /
+        # projected_weak_efficiency; BASELINE.md "Projected scaling"):
+        # rate calibrated from the measured sharded_pallas_1x1 artifact
+        # row unless overridden. --weak holds the per-chip block at this
+        # grid and grows the world with N; --overlap models the r5
+        # boundary-first round split (1D meshes, exchange hidden under
+        # the interior kernel).
+        from planeverb_tpu.parallel.scaling import (
+            projected_efficiency, projected_weak_efficiency)
 
-        rows = projected_efficiency(
-            params.nx, params.ny, [1, 4, 8, 16, 32, 64],
-            rate_ext_cups=args.rate_ext * 1e9)
+        fn = projected_weak_efficiency if args.weak else projected_efficiency
+        rows = fn(params.nx, params.ny, [1, 4, 8, 16, 32, 64],
+                  rate_ext_cups=args.rate_ext * 1e9, overlap=args.overlap)
         for row in rows:
             print(json.dumps(row))
         return 0
@@ -443,7 +448,8 @@ def cmd_scale(args) -> int:
     lix, liy = params.world_to_cell(*_xy(args.listener))
     rows = measure_scaling(params, beta, refl, gaussian_pulse(params),
                            lix, liy, halo=args.halo, reps=args.reps,
-                           chain=args.chain, solver=args.solver)
+                           chain=args.chain, solver=args.solver,
+                           mode="weak" if args.weak else "strong")
     for row in rows:
         print(json.dumps(row))
     return 0
@@ -602,9 +608,17 @@ def main(argv=None) -> int:
                         "from the one-chip model instead of measuring "
                         "(BASELINE.md 'Projected scaling')")
     p.add_argument("--rate-ext", type=float, default=17.7, dest="rate_ext",
-                   help="measured extended-cell rate in G ext-cells/s for "
-                        "--project (default: the r03 sharded_pallas_1x1 "
-                        "calibration)")
+                   help="measured round-kernel cell rate in G cells/s for "
+                        "--project (default: the sharded_pallas_1x1 "
+                        "calibration row; see BASELINE.md)")
+    p.add_argument("--weak", action="store_true",
+                   help="weak scaling: hold the per-chip block at this "
+                        "grid and grow the world with the device count "
+                        "(measured sweep and --project both honor it)")
+    p.add_argument("--overlap", action="store_true",
+                   help="with --project: model the r5 overlap round split "
+                        "(1D meshes, exchange hidden under the interior "
+                        "kernel)")
     p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")

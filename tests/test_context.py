@@ -325,6 +325,38 @@ def test_mesh_context_matches_single_device():
     ctx_m.geometry.remove(gid)
 
 
+def test_mesh_context_auto_overlap_1d():
+    """A Context on a 1D ("x", N) mesh auto-enables the overlap round
+    split (exchange hidden under the interior kernel — bit-identical to
+    the plain rounds, so the engine opts in without a user knob) and
+    publishes the same grids as the single-device engine."""
+    import jax
+
+    from planeverb_tpu.parallel import grid_mesh
+
+    cfg = pv.PlaneverbConfig(grid_size_x=25.0, grid_size_y=25.0,
+                             grid_resolution=275)
+    mesh = grid_mesh(jax.devices(), (8, 1))
+    ctx_m = pv.Context(cfg, scene=pv.demo_scene("SmallRoom"), mesh=mesh,
+                       halo=4)
+    assert ctx_m._overlap          # preconditions hold -> auto-enabled
+    ctx_1 = pv.Context(cfg, scene=pv.demo_scene("SmallRoom"))
+    for ctx in (ctx_m, ctx_1):
+        ctx.set_listener_position(12.5, 0.0, 12.5)
+        ctx.step()
+    a, b = ctx_m._published, ctx_1._published
+    for key in ("occlusion", "wet_gain", "rt60", "lowpass",
+                "direction", "source_directivity", "delay_samples"):
+        np.testing.assert_allclose(a[key], b[key], rtol=2e-4, atol=1e-5,
+                                   err_msg=key)
+    # 2D meshes and too-small shards stay on the plain rounds
+    ctx_2d = pv.Context(cfg, scene=pv.demo_scene("SmallRoom"),
+                        mesh=grid_mesh(jax.devices(), (2, 4)))
+    assert not ctx_2d._overlap
+    ctx_small = pv.Context(CFG, mesh=mesh)     # 10 m: bx < 3*halo
+    assert not ctx_small._overlap
+
+
 def test_mesh_context_cells_publish():
     """publish='cells' on a mesh Context: per-emitter rows come off the
     sharded packed grid in one gather."""

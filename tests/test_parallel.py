@@ -317,6 +317,67 @@ def test_sharded_banded_matches_fused_rounds(shape, halo, band):
             atol=1e-5, rtol=1e-6, err_msg=name)
 
 
+@pytest.mark.parametrize("shape,halo", [((8, 1), 4), ((4, 1), 8)])
+def test_sharded_overlap_matches_plain_rounds(shape, halo):
+    """The overlap rounds (boundary-frame kernels -> ppermute of the new
+    frames OVERLAPPED with the interior kernel — solver_pallas._overlap_impl)
+    must be BIT-identical to the plain sequential rounds: the same
+    generalized _round_kernel runs the same per-cell op sequence, just on
+    boundary/interior windows instead of one extended block."""
+    from planeverb_tpu.parallel.solver_pallas import (
+        simulate_moments_sharded, simulate_sharded_pallas)
+
+    # 25 m grid: shards on the (8,1) mesh must satisfy bx >= 3*halo
+    p = compute_grid_params(PlaneverbConfig(
+        grid_size_x=25.0, grid_size_y=25.0, grid_resolution=275))
+    beta, refl = voxelize.voxelize_np(p, demo_scene("SmallRoom").boxes)
+    pulse = oracle.gaussian_pulse(p)
+    lix, liy = p.world_to_cell(12.5, 12.5)
+    n = shape[0] * shape[1]
+    mesh = grid_mesh(jax.devices()[:n], shape)
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh, multiple=8)
+    assert nx_pad // shape[0] >= 3 * halo
+    args = (p, _pad(beta, nx_pad, ny_pad), _pad(refl, nx_pad, ny_pad),
+            pulse, jnp.int32(lix), jnp.int32(liy), mesh, nx_pad, ny_pad)
+
+    plain = simulate_sharded_pallas(*args, halo=halo, interpret=True)
+    over = simulate_sharded_pallas(*args, halo=halo, interpret=True,
+                                   overlap=True)
+    for name in ("pressure", "onset", "flux_x", "flux_y"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(over, name)),
+            np.asarray(getattr(plain, name)), err_msg=name)
+
+    _, mp = simulate_moments_sharded(*args, halo=halo, interpret=True)
+    _, mo = simulate_moments_sharded(*args, halo=halo, interpret=True,
+                                     overlap=True)
+    for name in ("e_dry", "e_wet", "e_total", "s0", "s1"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(mo, name)),
+            np.asarray(getattr(mp, name)), err_msg=name)
+
+
+def test_sharded_overlap_rejects_bad_meshes():
+    from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
+
+    p, beta, refl, pulse, lix, liy = _setup(None)
+    mesh = grid_mesh(jax.devices(), (2, 4))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh, multiple=8)
+    with pytest.raises(ValueError, match="1D"):
+        simulate_sharded_pallas(
+            p, _pad(beta, nx_pad, ny_pad), _pad(refl, nx_pad, ny_pad),
+            pulse, jnp.int32(lix), jnp.int32(liy), mesh, nx_pad, ny_pad,
+            halo=4, interpret=True, overlap=True)
+    mesh1 = grid_mesh(jax.devices(), (8, 1))
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh1, multiple=8)
+    bx = nx_pad // 8
+    with pytest.raises(ValueError, match="3\\*halo"):
+        simulate_sharded_pallas(
+            p, _pad(beta, nx_pad, ny_pad), _pad(refl, nx_pad, ny_pad),
+            pulse, jnp.int32(lix), jnp.int32(liy), mesh1, nx_pad, ny_pad,
+            halo=bx, interpret=True, overlap=True)
+
+
 def test_sharded_1x1_beyond_vmem_delegates_to_tiled(monkeypatch):
     """A 1-shard mesh needs no halo exchange, so beyond-VMEM 1x1 routing
     goes straight to the tiled kernel (one launch, HBM-resident state)
@@ -542,3 +603,74 @@ def test_projected_efficiency_model():
     # efficiency decays with N
     effs = [by_n[n]["efficiency"] for n in (1, 8, 16, 64)]
     assert effs == sorted(effs, reverse=True)
+    # r5 per-axis ghosts: the 1-device row charges no ghost compute
+    assert by_n[1]["mesh"] == [1, 1]
+
+
+def test_projected_efficiency_overlap_model():
+    """overlap=True mirrors the implementation: only 1D ('x', N) meshes
+    (plus the trivial 1x1) are searched, the exchange disappears from the
+    round whenever it is shorter than the interior kernel, and the row
+    carries the split's derivation fields."""
+    from planeverb_tpu.parallel.scaling import projected_efficiency
+
+    rate = 232 * 288 * 1187 / 4.48e-3
+    rows = projected_efficiency(1920, 1920, [8, 16], rate, overlap=True)
+    for r in rows:
+        assert r["mesh"][1] == 1, r              # 1D x-meshes only
+        assert "t_frame_round_us" in r and "comm_hidden" in r
+        if r["comm_hidden"]:
+            assert r["t_comm_round_us"] == 0.0   # hidden under interior
+            assert (r["t_exchange_round_us"]
+                    <= r["t_interior_round_us"])
+
+
+def test_projected_weak_efficiency_model():
+    """Weak scaling (fixed per-chip block, world grows with N): per-chip
+    work is constant, so efficiency must stay FLAT once the mesh shape
+    stabilizes — the regime BASELINE.md names as the actual deployment
+    shape. With overlap, multi-host rows hide their exchange entirely for
+    production-size blocks."""
+    from planeverb_tpu.parallel.scaling import projected_weak_efficiency
+
+    rate = 232 * 288 * 1187 / 4.48e-3
+    rows = projected_weak_efficiency(1020, 1020, [1, 16, 32, 64], rate,
+                                     overlap=True)
+    by_n = {r["devices"]: r for r in rows}
+    assert by_n[1]["efficiency"] == 1.0
+    # the north-star regime: >= 80% at any host count, flat across N
+    for n in (16, 32, 64):
+        assert by_n[n]["efficiency"] >= 0.80, by_n[n]
+        assert by_n[n]["hosts"] >= 2
+    assert (by_n[64]["efficiency"]
+            == pytest.approx(by_n[32]["efficiency"], abs=0.02))
+    # global grid really grows with the mesh
+    gx, gy = by_n[64]["global_grid"]
+    assert gx * gy == 64 * 1020 * 1020
+
+
+def test_measure_scaling_weak_mode():
+    """measure_scaling(mode='weak') grows the world with the device count,
+    holding the per-chip block and T fixed (plumbing check on the CPU
+    mesh; real numbers come from the projected model)."""
+    from planeverb_tpu.parallel.scaling import measure_scaling
+
+    cfg = PlaneverbConfig(grid_size_x=6.0, grid_size_y=6.0,
+                          grid_resolution=275)
+    p = compute_grid_params(cfg)
+    beta, refl = voxelize.voxelize_np(p, [])
+    pulse = oracle.gaussian_pulse(p)
+    lix, liy = p.world_to_cell(3.0, 3.0)
+    rows = measure_scaling(p, beta, refl, pulse, lix, liy,
+                           device_counts=[1, 4], halo=2, reps=1, chain=2,
+                           solver="wide", mode="weak")
+    assert rows[0]["mode"] == "weak"
+    assert rows[0]["grid"] == [p.nx, p.ny]
+    g1 = rows[1]["grid"]
+    m1 = rows[1]["mesh"]
+    # the grid grew with the mesh (per-chip block ~ the base grid)
+    assert g1[0] >= p.nx * m1[0] - 2 and g1[1] >= p.ny * m1[1] - 2
+    assert rows[1]["efficiency_vs_1"] > 0
+    with pytest.raises(ValueError, match="mode"):
+        measure_scaling(p, beta, refl, pulse, lix, liy, device_counts=[1],
+                        mode="nope")
