@@ -216,17 +216,21 @@ def main() -> None:
         # compiler at 2.16e9 elements; fdtd_pallas.check_recording_elements
         # guards it) — ~8 GB f32 recording on the 16 GB chip. Larger worlds
         # shard over a mesh (per-shard recordings divide by chip count).
-        return _tiled(126.0, None, reps=4, chain=6)
+        # reps raised 4 -> 9 in r5: the r4 row was bimodal ([43, 93] ms)
+        # with the headline landing on the slow mode; more reps let the
+        # median find the dominant mode (VERDICT r5 item 7).
+        return _tiled(126.0, None, reps=9, chain=6)
 
     # --- pure device time: K data-dependent passes inside ONE XLA program
     # (one dispatch, one fetch) — no tunnel dispatch in the measured region.
-    def _scan_slope(one_pass):
+    def _scan_slope(one_pass, n_short=2, n_long=42, reps=9):
         """Paired in-program-scan slope of ``one_pass(carry) -> scalar``:
-        (t_42 - t_2)/40 per pass, median of 9 reps. Seeds offset from the
-        warm-up inputs keep the tunnel's relay cache out (CLAUDE.md); a
-        slope outside (0, mean_long] means fetch jitter beat the delta and
-        falls back to the long-chain mean (same guard as
-        utils/profiling.py::time_chained_stats)."""
+        (t_long - t_short)/(n_long - n_short) per pass, median of reps.
+        Seeds offset from the warm-up inputs keep the tunnel's relay cache
+        out (CLAUDE.md); a slope outside (0, mean_long] means fetch jitter
+        beat the delta and falls back to the long-chain mean (same guard
+        as utils/profiling.py::time_chained_stats). Expensive passes
+        (e.g. the multi-listener fallback) shrink n_long/reps."""
         def k_passes(k):
             @jax.jit
             def prog(eps):
@@ -238,16 +242,16 @@ def main() -> None:
 
             return prog
 
-        # 40 passes between the paired chains: the r4 5-rep/20-pass form
-        # once recorded an impossible sub-roofline slope (fetch jitter with
-        # the wrong sign slipping through the guard); doubling the delta
-        # and the rep count halves the jitter share and medians it away
-        n_short, n_long = 2, 42
+        # default 40 passes between the paired chains: the r4 5-rep/20-pass
+        # form once recorded an impossible sub-roofline slope (fetch jitter
+        # with the wrong sign slipping through the guard); doubling the
+        # delta and the rep count halves the jitter share and medians it
+        # away
         short, long_ = k_passes(n_short), k_passes(n_long)
         float(np.asarray(short(jnp.float32(1e-3))))
         float(np.asarray(long_(jnp.float32(1e-3))))
         slopes = []
-        for rep in range(9):
+        for rep in range(reps):
             t0 = time.perf_counter()
             float(np.asarray(short(jnp.float32(1e-3 * (rep + 1) + 7e-5))))
             t_s = time.perf_counter() - t0
@@ -285,19 +289,13 @@ def main() -> None:
     # Parameters stay golden-gated within ~2%
     # (tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters).
     def _bf16_mode():
-        from planeverb_tpu.ops.fdtd_pallas import (simulate_moments_pallas,
-                                                   simulate_pallas)
-
-        def sim16(eps):
-            res = simulate_pallas(params, beta, refl, pulse * (1.0 + eps),
-                                  lix, liy, state_dtype=jnp.bfloat16)
-            return res.pressure[T - 1, 5, 5].astype(jnp.float32)
-
-        float(np.asarray(sim16(0.0)))
-        s = time_chained_stats(sim16, reps=5)
+        from planeverb_tpu.ops.fdtd_pallas import simulate_moments_pallas
 
         # pure device time (same methodology as device_throughput) so the
-        # artifact reconciles dispatch-inclusive and device-only walls
+        # artifact reconciles against the f32 device row. The r4
+        # sim_wall_ms chained row ([1.65, 7.81] spread) was tunnel jitter
+        # presented as a headline and is dropped (VERDICT r5 item 4/7) —
+        # the scan slope is the signal.
         def one16(carry):
             res, mom = simulate_moments_pallas(
                 params, beta, refl, pulse * (1.0 + carry), lix, liy,
@@ -318,17 +316,105 @@ def main() -> None:
         float(np.asarray(pipe16(0.0)))
         sp = time_chained_stats(pipe16, reps=3)
         return {
-            "sim_wall_ms": round(s["median_s"] * 1e3, 2),
-            "sim_wall_ms_spread": spread_ms(s),
-            "sim_gcups": round(cell_updates / s["median_s"] / 1e9, 2),
             "device_scan_ms": round(t_dev * 1e3, 3),
             "device_scan_ms_spread": dev_spread,
+            "device_gcups": round(cell_updates / t_dev / 1e9, 2),
             "pipeline_wall_ms": round(sp["median_s"] * 1e3, 2),
             "pipeline_wall_ms_spread": spread_ms(sp),
             "recording_hbm_bytes": t_pad * npx * npy * 2,
             "note": "VMEM-capacity mode: device_scan_ms vs the f32 "
                     "device_throughput row documents the measured "
-                    "regression (f32 accumulator converts)",
+                    "regression (f32 accumulator converts); the mode's "
+                    "payoff is the bf16_capacity row",
+        }
+
+    # --- the bf16 capacity payoff, MEASURED (VERDICT r5 item 4): on a
+    # capacity-window grid (~34 m @ 750 Hz — fits the fused kernel's VMEM
+    # budget only in bf16, tests/test_fdtd_pallas.py::test_vmem_guard), the
+    # mode's entire justification is that bf16-on-the-fused-path beats
+    # f32-on-the-tiled-path. Both sides device scan slopes.
+    def _bf16_capacity():
+        from planeverb_tpu.ops.fdtd_pallas import (fits_vmem,
+                                                   simulate_moments_pallas)
+        from planeverb_tpu.ops.fdtd_tiled import simulate_moments_tiled
+
+        c = PlaneverbConfig(grid_size_x=34.0, grid_size_y=34.0,
+                            grid_resolution=750)
+        p2 = compute_grid_params(c)
+        assert not fits_vmem(p2) and fits_vmem(p2, state_dtype=jnp.bfloat16)
+        b, r = voxelize.voxelize_np(p2, demo_scene("HugeRoom").boxes)
+        b, r = jnp.asarray(b), jnp.asarray(r)
+        pu = jnp.asarray(gaussian_pulse(p2))
+        ix, iy = p2.world_to_cell(17.0, 17.0)
+
+        def one_f32(carry):
+            # the f32 auto-route for this grid: band-streamed tiled kernel
+            res, mom = simulate_moments_tiled(p2, b, r, pu * (1.0 + carry),
+                                              ix, iy, return_pressure=False)
+            return mom.e_total[5, 5]
+
+        def one_bf16(carry):
+            res, mom = simulate_moments_pallas(p2, b, r, pu * (1.0 + carry),
+                                               ix, iy,
+                                               state_dtype=jnp.bfloat16)
+            return mom.e_total[5, 5]
+
+        t32, sp32 = _scan_slope(one_f32, n_long=22, reps=7)
+        t16, sp16 = _scan_slope(one_bf16, n_long=22, reps=7)
+        updates = p2.nx * p2.ny * p2.response_length
+        return {
+            "grid": [p2.nx, p2.ny], "steps": p2.response_length,
+            "f32_tiled_ms": round(t32 * 1e3, 3),
+            "f32_tiled_ms_spread": sp32,
+            "bf16_fused_ms": round(t16 * 1e3, 3),
+            "bf16_fused_ms_spread": sp16,
+            "bf16_speedup": round(t32 / t16, 2),
+            "f32_gcups": round(updates / t32 / 1e9, 2),
+            "bf16_gcups": round(updates / t16 / 1e9, 2),
+            "note": "capacity-window grid (fused fits only in bf16): "
+                    "bf16_speedup > 1 means the mode pays off where it is "
+                    "meant to — fit, not headline speed",
+        }
+
+    # --- the multi-listener beyond-VMEM fallback, MEASURED (VERDICT r5
+    # item 8): grids past the fused kernel's window route B listeners
+    # through a sequential lax.map of full pipelines
+    # (core/context.py::_pipeline_packed_multi) — ~1 pipeline per view
+    # instead of the batched ~1.08/B. One row so the cost is an artifact,
+    # not a code comment.
+    def _multi_listener_fallback():
+        from planeverb_tpu.core.context import _pipeline_packed_multi
+        from planeverb_tpu.ops.fdtd_pallas import fits_vmem
+
+        c = PlaneverbConfig(grid_size_x=60.0, grid_size_y=60.0,
+                            grid_resolution=750)
+        p2 = compute_grid_params(c)
+        assert not fits_vmem(p2)      # forces the lax.map fallback
+        b, r = voxelize.voxelize_np(p2, demo_scene("HugeRoom").boxes)
+        b, r = jnp.asarray(b), jnp.asarray(r)
+        pu = jnp.asarray(gaussian_pulse(p2))
+        B = 4
+        cells_np = np.array([[9 + 60 * i, 9 + 45 * i] for i in range(B)],
+                            np.int32)
+        lpos = jnp.asarray(cells_np.astype(np.float32) * p2.dx)
+        cells_b = jnp.asarray(cells_np)
+
+        def one(carry):
+            packed = _pipeline_packed_multi(
+                p2, b, r, pu * (1.0 + carry), cells_b,
+                jnp.float32(1.0), lpos)
+            return packed[:, 5, 5, 0].sum() * 1e-2
+
+        t, spread = _scan_slope(one, n_short=1, n_long=6, reps=5)
+        return {
+            "listeners": B, "grid": [p2.nx, p2.ny],
+            "wall_ms": round(t * 1e3, 1),
+            "wall_ms_spread": spread,
+            "ms_per_listener": round(t * 1e3 / B, 2),
+            "note": "beyond-VMEM grid -> documented sequential lax.map "
+                    "fallback (fused-batch path impossible); compare "
+                    "ms_per_listener against tiled_large_grid's "
+                    "single-listener wall",
         }
 
     # --- multi-listener engine mode: B listeners DATA-PARALLEL inside the
@@ -416,12 +502,13 @@ def main() -> None:
                     "map squaring x 8 squarings on this grid",
         }
 
-    # --- beyond-VMEM shard through the ENGINE's sharded path: when a
-    # shard's round kernel exceeds the VMEM budget, simulate_moments_sharded
-    # auto-routes to the band-streamed round kernel (HBM state,
-    # parallel/solver_pallas.py::_banded_round_kernel) — the path a
-    # Context(mesh=...) takes on the 100x-grid scaling workload
-    def _sharded_banded():
+    # --- beyond-VMEM shard through the ENGINE's sharded path. Since r5 an
+    # exchange-free 1x1 mesh routes straight to the tiled kernel
+    # (solver_pallas._delegate_tiled_1x1 — the per-round XLA machinery was
+    # pure overhead there, r4's 13.3 G vs 20.3 G gap); band_rows forces the
+    # real banded round kernel — the path actual multi-shard meshes take —
+    # so both rows stay measured.
+    def _sharded_banded(band_rows=None, what=""):
         from planeverb_tpu.parallel import (grid_mesh, pad_to_mesh,
                                             simulate_moments_sharded)
 
@@ -442,7 +529,7 @@ def main() -> None:
         def one(eps):
             res, mom = simulate_moments_sharded(
                 p2, bp, rp, pu * (1.0 + eps), jnp.int32(ix), jnp.int32(iy),
-                mesh, nxp, nyp, halo=16)
+                mesh, nxp, nyp, halo=16, band_rows=band_rows)
             return mom.e_total[cx, cy] * 1e-3
 
         float(np.asarray(one(0.0)))
@@ -450,17 +537,36 @@ def main() -> None:
         t = s["median_s"]
         return {
             "mesh": "1x1", "grid": [p2.nx, p2.ny], "halo": 16,
-            "what": "beyond-VMEM shard auto-routed to banded round kernel",
+            "what": what,
             "wall_ms": round(t * 1e3, 1),
             "wall_ms_spread": spread_ms(s),
             "gcups": round(p2.nx * p2.ny * p2.response_length / t / 1e9, 2),
         }
 
-    # --- sharded Pallas solver, 1x1 mesh (per-chip rate of the multi-chip
-    # path; parity with the fused kernel is bit-exact, tests pin it)
+    def _sharded_banded_auto():
+        return _sharded_banded(
+            what="beyond-VMEM 1x1 shard: exchange-free, delegated to the "
+                 "tiled kernel (r5)")
+
+    def _sharded_banded_forced():
+        return _sharded_banded(
+            band_rows=48,
+            what="banded round kernel FORCED via band_rows (the real "
+                 "multi-shard beyond-VMEM path; per-round XLA machinery "
+                 "included)")
+
+    # --- sharded Pallas solver, 1x1 mesh: the per-chip rate of the
+    # multi-chip path (parity with the fused kernel is bit-exact, tests pin
+    # it). r5: the row consumes MOMENTS, not the [T, nx, ny] pressure — the
+    # r4 row's full-recording resident output added ~2 ms of per-dispatch
+    # cost plus tunnel jitter, which is what regressed the r4 artifact
+    # (6.4 vs r3's 4.48 ms; VERDICT r5 item 1) — and adds the in-program
+    # scan slope, the pure device number projected_efficiency calibrates
+    # against (cells * T_pad / device_scan; per-axis ghosts mean a 1x1
+    # mesh updates exactly nx_pad*ny_pad cells per step).
     def _sharded_pallas():
         from planeverb_tpu.parallel import (grid_mesh, pad_to_mesh,
-                                            simulate_sharded_pallas)
+                                            simulate_moments_sharded)
 
         mesh = grid_mesh(jax.devices()[:1], (1, 1))
         nx_pad, ny_pad = pad_to_mesh(params.nx, params.ny, mesh)
@@ -470,17 +576,30 @@ def main() -> None:
                        jnp.float32).at[:params.nx, :params.ny].set(refl)
 
         def one(eps):
-            r = simulate_sharded_pallas(params, bp, rp, pulse * (1.0 + eps),
-                                        jnp.int32(lix), jnp.int32(liy),
-                                        mesh, nx_pad, ny_pad, halo=16)
-            return r.pressure[T - 1, 5, 5]
+            res, mom = simulate_moments_sharded(
+                params, bp, rp, pulse * (1.0 + eps), jnp.int32(lix),
+                jnp.int32(liy), mesh, nx_pad, ny_pad, halo=16)
+            return mom.e_total[5, 5] * 1e-3
 
         float(np.asarray(one(0.0)))
-        s = time_chained_stats(one, reps=5)
+        s = time_chained_stats(one, reps=7)
         t = s["median_s"]
-        return {"mesh": "1x1", "halo": 16, "wall_ms": round(t * 1e3, 2),
+        t_dev, dev_spread = _scan_slope(one)
+        t_pad_r = -(-T // 16) * 16
+        rate_round = nx_pad * ny_pad * t_pad_r / t_dev
+        return {"mesh": "1x1", "halo": 16,
+                "wall_ms": round(t * 1e3, 2),
                 "wall_ms_spread": spread_ms(s),
-                "gcups": round(cell_updates / t / 1e9, 2)}
+                "gcups": round(cell_updates / t / 1e9, 2),
+                "device_scan_ms": round(t_dev * 1e3, 3),
+                "device_scan_ms_spread": dev_spread,
+                "device_gcups": round(cell_updates / t_dev / 1e9, 2),
+                "rate_round_gcups": round(rate_round / 1e9, 2),
+                "note": "rate_round_gcups = round-kernel cells/s from the "
+                        "device scan slope — the projected_efficiency "
+                        "calibration input (BASELINE.md); wall_ms is the "
+                        "dispatch-inclusive chained median (sim+moments "
+                        "consumed, recording stays on device)"}
 
     if platform == "tpu":
         # the HBM-heavy tiled rows run LAST: a resource-exhausted XL run
@@ -489,16 +608,35 @@ def main() -> None:
         for key, fn in (("resolutions", _resolution_table),
                         ("device_throughput", _device_throughput),
                         ("bf16_mode", _bf16_mode),
+                        ("bf16_capacity", _bf16_capacity),
                         ("multi_listener", _multi_listener),
                         ("doa_cost", _doa_cost),
                         ("sharded_pallas_1x1", _sharded_pallas),
-                        ("sharded_banded_1x1", _sharded_banded),
+                        ("sharded_banded_1x1", _sharded_banded_auto),
+                        ("sharded_banded_forced_1x1", _sharded_banded_forced),
+                        ("multi_listener_fallback", _multi_listener_fallback),
                         ("tiled_large_grid", _tiled_large),
                         ("tiled_xl", _tiled_xl)):
             try:
                 extras[key] = fn()
             except Exception as e:  # fail-soft: never lose the headline
                 extras[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+        # jitter honesty (VERDICT r5 item 7): flag any spread whose
+        # min/max strays more than ~20% from its median so a reader never
+        # mistakes a tunnel-jitter-dominated value for signal
+        for row in extras.values():
+            if not isinstance(row, dict):
+                continue
+            wide = [k for k, v in row.items()
+                    if k.endswith("_spread") and isinstance(v, list)
+                    and len(v) == 3 and v[1]
+                    and (v[0] < 0.8 * v[1] or v[2] > 1.2 * v[1])]
+            if wide:
+                row["jitter_flag"] = (
+                    "spread beyond +-20% of median on: "
+                    + ", ".join(w[:-7] for w in wide)
+                    + " (tunnel jitter; medians are the signal)")
 
     # --- roofline accounting (see BASELINE.md "Roofline analysis"): the only
     # HBM traffic of the fused sim kernel is the [T_pad, npx, npy] recording
