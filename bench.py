@@ -329,23 +329,24 @@ def main() -> None:
         }
 
     # --- the bf16 capacity payoff, MEASURED (VERDICT r5 item 4): on a
-    # capacity-window grid (~34 m @ 750 Hz — fits the fused kernel's VMEM
-    # budget only in bf16, tests/test_fdtd_pallas.py::test_vmem_guard), the
-    # mode's entire justification is that bf16-on-the-fused-path beats
+    # capacity-window grid (34x33 m @ 750 Hz = 264x256 cells — fits the
+    # fused kernel only in bf16 under the r5 compile-calibrated budget,
+    # tests/test_fdtd_pallas.py::test_vmem_guard), the mode's entire
+    # justification is that bf16-on-the-fused-path beats
     # f32-on-the-tiled-path. Both sides device scan slopes.
     def _bf16_capacity():
         from planeverb_tpu.ops.fdtd_pallas import (fits_vmem,
                                                    simulate_moments_pallas)
         from planeverb_tpu.ops.fdtd_tiled import simulate_moments_tiled
 
-        c = PlaneverbConfig(grid_size_x=34.0, grid_size_y=34.0,
+        c = PlaneverbConfig(grid_size_x=34.0, grid_size_y=33.0,
                             grid_resolution=750)
         p2 = compute_grid_params(c)
         assert not fits_vmem(p2) and fits_vmem(p2, state_dtype=jnp.bfloat16)
         b, r = voxelize.voxelize_np(p2, demo_scene("HugeRoom").boxes)
         b, r = jnp.asarray(b), jnp.asarray(r)
         pu = jnp.asarray(gaussian_pulse(p2))
-        ix, iy = p2.world_to_cell(17.0, 17.0)
+        ix, iy = p2.world_to_cell(17.0, 16.5)
 
         def one_f32(carry):
             # the f32 auto-route for this grid: band-streamed tiled kernel
@@ -527,9 +528,14 @@ def main() -> None:
         cx, cy = int(ix), int(iy)
 
         def one(eps):
+            # with_pressure=False: same measurement basis as the
+            # tiled_large_grid row (moments only, recording stays
+            # internal) so the delegated/forced/tiled triplet compares
+            # like-for-like
             res, mom = simulate_moments_sharded(
                 p2, bp, rp, pu * (1.0 + eps), jnp.int32(ix), jnp.int32(iy),
-                mesh, nxp, nyp, halo=16, band_rows=band_rows)
+                mesh, nxp, nyp, halo=16, band_rows=band_rows,
+                with_pressure=False)
             return mom.e_total[cx, cy] * 1e-3
 
         float(np.asarray(one(0.0)))

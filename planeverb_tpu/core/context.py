@@ -234,7 +234,8 @@ def _pipeline_packed_multi_sharded(params, beta, refl, pulse, lcells, efree,
             params, beta, refl, pulse, lcells[i, 0], lcells[i, 1],
             mesh, nx_pad, ny_pad, efree, lpos[i, 0], lpos[i, 1],
             halo=halo, interpret=interpret,
-            compute_directions=compute_directions, overlap=overlap)
+            compute_directions=compute_directions, overlap=overlap,
+            with_pressure=False)   # per-view recordings dropped by design
         packs.append(_pack(out))
     return jnp.stack(packs)
 

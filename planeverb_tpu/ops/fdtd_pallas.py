@@ -680,6 +680,15 @@ def pipeline_auto_batch(params: GridParams, beta, refl, pulse, lcells,
 
 
 _VMEM_BUDGET_BYTES = 12 << 20  # leave headroom below the ~16 MB/core VMEM
+# bf16 routing budget, CALIBRATED to the measured Mosaic compile boundary
+# (v5e, r5): bf16-mode kernels carry ~125 B/cell of scoped-stack
+# temporaries the explicit estimate cannot see (the 4-step-unroll live
+# values unpack to f32 vregs), so the real fused ceiling is ~72k cells —
+# estimate 7.38 MB (280x256) compiles, 7.80 MB (296x256) fails. 7 MB
+# keeps ~5% margin below the measured pass point; without this, the
+# 12 MB budget admitted grids (e.g. 261^2) whose compile crashes at
+# Context.step() (found measuring the bf16_capacity bench row).
+_VMEM_BUDGET_BYTES_BF16 = 7 << 20
 
 
 def _kernel_vmem_bytes(params: GridParams, chunk: int = 16,
@@ -696,7 +705,10 @@ def _kernel_vmem_bytes(params: GridParams, chunk: int = 16,
 
 def fits_vmem(params: GridParams, chunk: int = 16,
               state_dtype=jnp.float32) -> bool:
-    return _kernel_vmem_bytes(params, chunk, state_dtype) <= _VMEM_BUDGET_BYTES
+    budget = (_VMEM_BUDGET_BYTES_BF16
+              if jnp.dtype(state_dtype) == jnp.bfloat16
+              else _VMEM_BUDGET_BYTES)
+    return _kernel_vmem_bytes(params, chunk, state_dtype) <= budget
 
 
 def simulate_auto(params: GridParams, beta, refl, pulse,

@@ -503,7 +503,8 @@ def _pick_shard_band(bx: int, w: int, k: int,
 def _overlap_impl(params: GridParams, beta, refl, pulse,
                   listener_ix, listener_iy, mesh: Mesh,
                   bx: int, by: int, k: int, chunk: int,
-                  interpret: bool, with_moments: bool):
+                  interpret: bool, with_moments: bool,
+                  with_pressure: bool = True):
     """Rounds with halo exchange OVERLAPPED by interior compute (r5).
 
     The plain rounds are strictly sequential per round: exchange ghosts,
@@ -715,7 +716,10 @@ def _overlap_impl(params: GridParams, beta, refl, pulse,
         rt = recs_t.reshape(T_pad, k, by)
         rm = recs_m.reshape(T_pad, mid, by)
         rb = recs_b.reshape(T_pad, k, by)
-        pressure = jnp.concatenate([rt, rm, rb], axis=1)[:T]
+        if with_pressure:
+            pressure = jnp.concatenate([rt, rm, rb], axis=1)[:T]
+        else:
+            pressure = jnp.zeros((0, bx, by), jnp.float32)
         if not with_moments:
             return pressure, onset, fx, fy
         s0t, s1t = mom_frame(onset[:k], rt)
@@ -741,12 +745,19 @@ def _overlap_impl(params: GridParams, beta, refl, pulse,
 def _delegate_tiled_1x1(params: GridParams, beta, refl, pulse,
                         listener_ix, listener_iy,
                         nx_pad: int, ny_pad: int, halo: int,
-                        interpret: bool, with_moments: bool):
+                        interpret: bool, with_moments: bool,
+                        with_pressure: bool = True):
     """Exchange-free 1x1-mesh route of :func:`_simulate_impl`: the tiled
-    kernel (one launch, HBM-resident state) with results re-padded to the
-    sharded contract's [nx_pad, ny_pad] shapes. Pad cells carry the same
-    values the beta=0 shard padding produces in the round kernels (silent:
-    onset inf, everything else zero), so callers see identical arrays."""
+    kernel (one launch, HBM-resident state) with results SLICED to the
+    sharded contract's [nx_pad, ny_pad] shapes. The tiled padding is a
+    superset of the mesh padding (band multiples are multiples of 8, lane
+    pad 128 >= the mesh's 8), and tiled pad cells carry exactly the values
+    the beta=0 shard padding produces in the round kernels (silent: onset
+    inf, everything else zero) — so a pure slice is bit-identical to the
+    round-kernel outputs AND avoids re-materializing the multi-GB
+    recording through a pad copy (the r5 first cut paid ~3 ms of
+    crop+pad on the 459^2 row). ``with_pressure=False`` drops the [T,...]
+    recording output entirely (moments-only callers)."""
     from planeverb_tpu.ops.fdtd_tiled import (_simulate_tiled_impl,
                                               _tiled_rt60_moments)
 
@@ -755,17 +766,18 @@ def _delegate_tiled_1x1(params: GridParams, beta, refl, pulse,
     rec, onset, fx, fy, ed, ew, et = _simulate_tiled_impl(
         params, beta[:nx, :ny], refl[:nx, :ny], pulse,
         listener_ix, listener_iy, halo=halo, interpret=interpret)
+    assert onset.shape[0] >= nx_pad and onset.shape[1] >= ny_pad, \
+        (onset.shape, nx_pad, ny_pad)
 
-    def fit(a, fill=0.0):
-        return jnp.pad(a[:nx, :ny], ((0, nx_pad - nx), (0, ny_pad - ny)),
-                       constant_values=fill)
+    def fit(a):
+        return a[:nx_pad, :ny_pad]
 
-    pressure = jnp.pad(rec[:T, :nx, :ny],
-                       ((0, 0), (0, nx_pad - nx), (0, ny_pad - ny)))
+    t_keep = T if with_pressure else 0
+    pressure = rec[:t_keep, :nx_pad, :ny_pad]
     if not with_moments:
-        return pressure, fit(onset, jnp.inf), fit(fx), fit(fy)
+        return pressure, fit(onset), fit(fx), fit(fy)
     s0, s1 = _tiled_rt60_moments(params, onset, rec, None, halo, interpret)
-    return (pressure, fit(onset, jnp.inf), fit(fx), fit(fy),
+    return (pressure, fit(onset), fit(fx), fit(fy),
             fit(ed), fit(ew), fit(et), fit(s0), fit(s1))
 
 
@@ -774,7 +786,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                    nx_pad: int, ny_pad: int, halo: int,
                    chunk: int | None, interpret: bool,
                    with_moments: bool, band_rows: int | None = None,
-                   overlap: bool = False):
+                   overlap: bool = False, with_pressure: bool = True):
     gx, gy = params.grid_x, params.grid_y
     absorbing = params.boundary_type == BoundaryType.ABSORBING
     T = params.response_length
@@ -831,7 +843,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                     f"doomed fringe + frame), got bx={bx} < {3 * k}")
             return _overlap_impl(params, beta, refl, pulse,
                                  listener_ix, listener_iy, mesh,
-                                 bx, by, k, chunk, interpret, with_moments)
+                                 bx, by, k, chunk, interpret, with_moments,
+                                 with_pressure)
         # mx == 1: a single shard exchanges nothing — the plain rounds
         # below are already communication-free
 
@@ -854,7 +867,7 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         return _delegate_tiled_1x1(params, beta, refl, pulse,
                                    listener_ix, listener_iy,
                                    nx_pad, ny_pad, k, interpret,
-                                   with_moments)
+                                   with_moments, with_pressure)
 
     cell_t = jax.ShapeDtypeStruct((bx, by), jnp.float32)
 
@@ -1106,7 +1119,10 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             rows, col = slice(None, bx), slice(k, k + by)
         else:
             rows = col = slice(None)
-        pressure = recs[:T, rows, col]
+        # moments-only callers drop the [T, ...] recording output (the
+        # slab stays internal; skipping the [:T] crop saves a full-
+        # recording copy at the jit boundary)
+        pressure = recs[:T if with_pressure else 0, rows, col]
         if not with_moments:
             return pressure, onset[rows, col], fx[rows, col], fy[rows, col]
         # backward RT60 regression pass, fully shard-local (the recording
@@ -1166,14 +1182,16 @@ def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
 
 @functools.partial(
     jax.jit, static_argnames=("params", "mesh", "nx_pad", "ny_pad", "halo",
-                              "chunk", "interpret", "band_rows", "overlap"))
+                              "chunk", "interpret", "band_rows", "overlap",
+                              "with_pressure"))
 def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
                              listener_ix, listener_iy, mesh: Mesh,
                              nx_pad: int, ny_pad: int, halo: int = 16,
                              chunk: int | None = None,
                              interpret: bool = False,
                              band_rows: int | None = None,
-                             overlap: bool = False):
+                             overlap: bool = False,
+                             with_pressure: bool = True):
     """Sharded sim + in-kernel analyzer moments (multi-chip analog of
     ops/fdtd_pallas.py::simulate_moments_pallas).
 
@@ -1181,13 +1199,18 @@ def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
     [nx_pad, ny_pad]; the windowed energies stream inside the round kernel
     and the RT60 regression moments come from one shard-local backward pass
     over each shard's recording — no cross-device analysis traffic.
+    ``with_pressure=False`` returns a zero-length pressure axis instead of
+    the [T, ...] recording: moments-only callers skip a full-recording
+    copy at the jit boundary (multi-GB on beyond-VMEM grids; the engine's
+    multi-listener sharded mode uses this — per-view recordings are
+    dropped by design).
     """
     from planeverb_tpu.ops.analyzer import Moments
 
     pressure, onset, fx, fy, ed, ew, et, s0, s1 = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
         nx_pad, ny_pad, halo, chunk, interpret, with_moments=True,
-        band_rows=band_rows, overlap=overlap)
+        band_rows=band_rows, overlap=overlap, with_pressure=with_pressure)
     res = FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
     return res, Moments(e_dry=ed, e_wet=ew, e_total=et, s0=s0, s1=s1)
 
@@ -1199,7 +1222,8 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
                      chunk: int | None = None, interpret: bool = False,
                      compute_directions: bool = True,
                      band_rows: int | None = None,
-                     overlap: bool = False):
+                     overlap: bool = False,
+                     with_pressure: bool = True):
     """Full multi-chip pass: sharded sim + in-kernel moments + parameter
     assembly. Returns (FdtdResult, AnalyzerResults) — the multi-chip analog
     of ops/fdtd_pallas.py::pipeline_auto; results are cropped to the
@@ -1209,7 +1233,7 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
     res, moments = simulate_moments_sharded(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
         nx_pad, ny_pad, halo=halo, chunk=chunk, interpret=interpret,
-        band_rows=band_rows, overlap=overlap)
+        band_rows=band_rows, overlap=overlap, with_pressure=with_pressure)
     nx, ny = params.nx, params.ny
     crop = analyzer.Moments(
         e_dry=moments.e_dry[:nx, :ny], e_wet=moments.e_wet[:nx, :ny],

@@ -119,12 +119,19 @@ def test_vmem_guard():
         grid_size_x=300.0, grid_size_y=300.0, grid_resolution=750))
     assert not fdtd_pallas.fits_vmem(huge)
     # bf16 is the capacity mode: a grid too big for the f32 fused kernel
-    # stays on the fused fast path with bf16 wave state (~260^2 cells
-    # here; the bf16 footprint halves the state+coefficient share)
+    # stays on the fused fast path with bf16 wave state. The window is
+    # bounded by the r5 bf16 budget, CALIBRATED to the measured v5e
+    # compile boundary (Mosaic scoped-stack temporaries the estimate
+    # can't see — see _VMEM_BUDGET_BYTES_BF16): ~34x33 m (264x256 cells)
+    # is in-window; the r4 claim of ~260^2 square grids compiled-crashes
+    # on real hardware and now routes to the tiled kernel instead.
     mid = compute_grid_params(PlaneverbConfig(
-        grid_size_x=34.0, grid_size_y=34.0, grid_resolution=750))
+        grid_size_x=34.0, grid_size_y=33.0, grid_resolution=750))
     assert not fdtd_pallas.fits_vmem(mid)
     assert fdtd_pallas.fits_vmem(mid, state_dtype=jnp.bfloat16)
+    sq34 = compute_grid_params(PlaneverbConfig(
+        grid_size_x=34.0, grid_size_y=34.0, grid_resolution=750))
+    assert not fdtd_pallas.fits_vmem(sq34, state_dtype=jnp.bfloat16)
 
 
 def test_bf16_state_mode_golden_parameters():
