@@ -352,11 +352,16 @@ class Context:
         mode: state/coefficient/recording footprints halve (larger grids
         stay on the fused fast path), acoustic parameters stay within ~2%
         of the f32 engine (pinned by
-        tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters),
-        but the kernel measures ~1.5x SLOWER than f32 on device (the
-        per-step f32 accumulator converts; BASELINE.md r4 ablation) — use
-        it for fit, not speed. Single-device TPU path only; the CPU
-        fallback and the sharded pipeline are the f32 parity references.
+        tests/test_fdtd_pallas.py::test_bf16_state_mode_golden_parameters).
+        Use it for fit, not headline speed: on grids where both dtypes fit
+        the fused kernel bf16 measures ~1.6x SLOWER than f32 (1.17 vs
+        0.72 ms device, BENCH_r05 bf16_mode — the per-step f32 accumulator
+        converts), but on the capacity-window grids it exists for (fused
+        only in bf16; ~34x33 m @ 750 Hz under the compile-calibrated
+        budget, fdtd_pallas._VMEM_BUDGET_BYTES_BF16) it measures **1.58x
+        FASTER** than the f32 tiled route (46.1 vs 29.3 G, BENCH_r05
+        bf16_capacity). Single-device TPU path only; the CPU fallback and
+        the sharded pipeline are the f32 parity references.
         """
         config.validate()
         self.config = config

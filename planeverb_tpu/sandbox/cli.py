@@ -607,10 +607,11 @@ def main(argv=None) -> int:
                    help="print the projected pod-scale efficiency table "
                         "from the one-chip model instead of measuring "
                         "(BASELINE.md 'Projected scaling')")
-    p.add_argument("--rate-ext", type=float, default=17.7, dest="rate_ext",
+    p.add_argument("--rate-ext", type=float, default=34.97, dest="rate_ext",
                    help="measured round-kernel cell rate in G cells/s for "
-                        "--project (default: the sharded_pallas_1x1 "
-                        "calibration row; see BASELINE.md)")
+                        "--project (default: the r05 sharded_pallas_1x1 "
+                        "device-scan calibration row, rate_round_gcups; "
+                        "see BASELINE.md)")
     p.add_argument("--weak", action="store_true",
                    help="weak scaling: hold the per-chip block at this "
                         "grid and grow the world with the device count "

@@ -202,6 +202,20 @@ def test_cli_scale_project(capsys):
     assert rows[0]["devices"] == 1 and rows[0]["efficiency"] == 1.0
     assert all(0.0 < r["efficiency"] <= 1.0 for r in rows)
 
+    # weak + overlap projection (r5): per-chip block fixed, world grows,
+    # 1D overlap meshes — efficiency flat and comm hidden at scale
+    assert main(["scale", "HugeRoom", "--project", "--weak", "--overlap",
+                 "--grid-size", "63", "--resolution", "750"]) == 0
+    wrows = [json.loads(line)
+             for line in capsys.readouterr().out.strip().splitlines()]
+    assert wrows[0]["efficiency"] == 1.0
+    big = [r for r in wrows if r["devices"] >= 16]
+    assert big and all(r["efficiency"] >= 0.85 for r in big)
+    assert all(r.get("comm_hidden", True) for r in big)
+    assert all(r["global_grid"][0] * r["global_grid"][1]
+               > 10 * wrows[0]["global_grid"][0] * wrows[0]["global_grid"][1]
+               for r in big)
+
 
 def test_cli_play_device_flag_guarded(tmp_path):
     """`play --device` routes through AudioDeviceSink, which fails loudly
