@@ -400,21 +400,14 @@ class Context:
             self._halo = halo
             # auto-overlap on 1D ("x", N) meshes: the boundary-first round
             # split hides the halo exchange under the interior kernel
-            # (parallel/solver_pallas.py::_overlap_impl). It is
-            # BIT-identical to the plain rounds (pinned by
-            # tests/test_parallel.py::test_sharded_overlap_matches_plain_
-            # rounds), so the engine opts in whenever the split's
-            # preconditions hold — users never choose.
-            from planeverb_tpu.ops.fdtd_pallas import _VMEM_BUDGET_BYTES
-            from planeverb_tpu.parallel.solver_pallas import (
-                sharded_kernel_vmem_bytes)
-
-            self._overlap = (
-                mesh.shape["y"] == 1 and mesh.shape["x"] > 1
-                and bx >= 3 * halo
-                and sharded_kernel_vmem_bytes(bx, by, halo, min(halo, 16),
-                                              kx=halo, ky=0)
-                <= _VMEM_BUDGET_BYTES)
+            # (parallel/solver_pallas.py::_overlap_impl for VMEM-resident
+            # shards, _overlap_banded_impl for beyond-VMEM ones). Both are
+            # BIT-identical to the plain rounds (pinned by the
+            # test_sharded_*overlap*_matches_plain tests), so the engine
+            # opts in whenever the split's preconditions hold — users
+            # never choose.
+            self._overlap = (mesh.shape["y"] == 1 and mesh.shape["x"] > 1
+                             and bx >= 3 * halo)
         if publish not in ("grids", "cells"):
             raise ValueError(f"unknown publish mode {publish!r}")
         self._publish_cells = publish == "cells"

@@ -110,8 +110,10 @@ def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap):
         ext = (bx + 2 * kx) * (by + 2 * ky)
         return ext * k / rate, tx + ty, {}
     if my != 1 or bx < 3 * k:
-        # overlap is implemented for 1D ("x", N) meshes only; the model
-        # mirrors the implementation (solver_pallas raises elsewhere)
+        # overlap is implemented for 1D ("x", N) meshes only (fused AND
+        # banded round kernels — _overlap_impl / _overlap_banded_impl);
+        # the model mirrors the implementation (solver_pallas raises on
+        # other mesh shapes)
         return None, None, None
     t_frame = 2 * (3 * k * by) * k / rate
     t_int = bx * by * k / rate

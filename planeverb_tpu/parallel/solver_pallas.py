@@ -224,7 +224,8 @@ def _banded_round_kernel(t0_ref, pulse_ref, geo_ref,
                          onset_out, fx_out, fy_out,
                          ed_out, ew_out, et_out,
                          *, courant, thr, src_dir_n, t_real, dry_n, wet_n,
-                         k, bb, w, gx, gy, absorbing):
+                         k, bb, w, gx, gy, absorbing,
+                         win_stride=None, geo_stride=None, out_stride=None):
     """One k-step round for shards beyond VMEM: band-streamed HBM state.
 
     Per-step math and moment windows are identical to :func:`_round_kernel`
@@ -267,14 +268,25 @@ def _banded_round_kernel(t0_ref, pulse_ref, geo_ref,
     as ``bb`` and ``k`` are both multiples of 8 (reads slice at offsets
     tb*bb; the round-end writes slice the VMEM window at row offset k) —
     :func:`_pick_shard_band` and the default halo=16 satisfy both.
+
+    Band indexing is decoupled per use (r5, for the banded OVERLAP
+    split's frame launch, whose input windows / output rows / global rows
+    advance at different strides): ``win_stride`` positions the input
+    window (default ``bb``), ``out_stride`` the output/accumulator rows
+    (default ``bb``), and ``geo_stride`` the global row of the window's
+    first row relative to ``geo_ref[0, 0]`` (default ``bb``). The plain
+    path leaves all three at ``bb`` — identical indexing to r4.
     """
     tb = pl.program_id(0)
     wrows = bb + 2 * k
+    win_stride = bb if win_stride is None else win_stride
+    geo_stride = bb if geo_stride is None else geo_stride
+    out_stride = bb if out_stride is None else out_stride
 
     def body(pw, vxw, vyw, bw, yw,
              onset_t, fx_t, fy_t, ed_t, ew_t, et_t, rec_t, sems):
-        row = tb * bb           # window start in the extended block
-        irow = tb * bb          # band start in the interior-row arrays
+        row = tb * win_stride   # window start in the input arrays
+        irow = tb * out_stride  # band start in the output-row arrays
 
         ext_pairs = ((beta_hbm, bw), (y_hbm, yw),
                      (p_hbm, pw), (vx_hbm, vxw), (vy_hbm, vyw))
@@ -298,7 +310,7 @@ def _banded_round_kernel(t0_ref, pulse_ref, geo_ref,
 
         # in-window coefficient fold (see docstring): global coords of
         # window row/col 0 come from the shard origin + band offset
-        gi = (geo_ref[0, 0] + row
+        gi = (geo_ref[0, 0] + tb * geo_stride
               + jax.lax.broadcasted_iota(jnp.int32, (wrows, w), 0))
         gj = (geo_ref[0, 1]
               + jax.lax.broadcasted_iota(jnp.int32, (wrows, w), 1))
@@ -742,6 +754,256 @@ def _overlap_impl(params: GridParams, beta, refl, pulse,
     return shard(local_sim)(beta, Y, pulse, listener_ix, listener_iy)
 
 
+def _overlap_banded_impl(params: GridParams, beta, refl, pulse,
+                         listener_ix, listener_iy, mesh: Mesh,
+                         bx: int, by: int, k: int,
+                         band_rows: int | None, interpret: bool,
+                         with_moments: bool, with_pressure: bool):
+    """Overlap rounds for BEYOND-VMEM shards (r5): the boundary-first
+    split of :func:`_overlap_impl` applied to the band-streamed HBM
+    kernel, so the weak-scaling deployment shape (big per-chip worlds —
+    BASELINE.md's 480x512+/1020^2 blocks) gets the hidden exchange too.
+
+    Per round, three pieces with the same cone argument as the fused
+    split:
+
+      1. a 2-band FRAME launch (window [ghost k | frame k | inner k],
+         3k rows each, stacked into one compact [6k, W] input) advances
+         the k top / k bottom interior rows using last round's ghosts;
+      2. the new frames' ppermute depends only on that launch;
+      3. the INTERIOR launch bands over the remaining bx-2k rows from
+         round-start state only — no ghosts in its windows at all (its
+         outermost surviving row is k-deep, so its windows stop at the
+         frame rows) — and therefore has no dependency on the permute.
+
+    The generalized :func:`_banded_round_kernel` runs both launches
+    (frames: win_stride=3k, out_stride=k, geo_stride=bx-k); every
+    per-cell op sequence is unchanged, so results are BIT-identical to
+    the plain banded rounds (pinned by
+    tests/test_parallel.py::test_sharded_banded_overlap_matches_plain).
+    Requires my == 1 and bx >= 3k, like the fused split; the banded DMA
+    alignment rules (k % 8, band % 8 on TPU) apply unchanged.
+    """
+    gx, gy = params.grid_x, params.grid_y
+    absorbing = params.boundary_type == BoundaryType.ABSORBING
+    T = params.response_length
+    rounds = -(-T // k)
+    T_pad = rounds * k
+    mid = bx - 2 * k
+
+    bye_b = by + 2 * k            # symmetric y ghosts (zeros: my == 1)
+    W = -(-bye_b // 128) * 128
+    bb = _pick_shard_band(bx, W, k, band_rows)
+    n_int = -(-mid // bb)
+    rows_int = n_int * bb + 2 * k       # interior-launch input rows
+    if not interpret:
+        check_recording_elements(T_pad, n_int * bb + 2 * k, W,
+                                 "banded overlap rounds (per shard)")
+        if bb % 8 != 0 or k % 8 != 0:
+            raise ValueError(
+                f"banded rounds on TPU need band_rows % 8 == 0 and "
+                f"halo % 8 == 0 (got band_rows={bb}, halo={k})")
+
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    smem_t0 = pl.BlockSpec((1, 1), lambda b: (0, 0),
+                           memory_space=pltpu.SMEM)
+    smem_pulse = pl.BlockSpec((k, 1), lambda b: (0, 0),
+                              memory_space=pltpu.SMEM)
+    smem_geo = pl.BlockSpec((1, 4), lambda b: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    common = dict(
+        courant=float(params.courant),
+        thr=float(params.constants.audible_threshold_gain),
+        src_dir_n=float(params.source_dir_samples),
+        t_real=T, dry_n=params.dry_gain_samples,
+        wet_n=params.wet_gain_samples,
+        k=k, w=W, gx=gx, gy=gy, absorbing=absorbing)
+
+    def make_call(n_bands, rec_rows, out_rows, **strides):
+        wide_t = jax.ShapeDtypeStruct((out_rows, W), jnp.float32)
+        return pl.pallas_call(
+            functools.partial(_banded_round_kernel, **common, **strides),
+            grid=(n_bands,),
+            in_specs=[smem_t0, smem_pulse, smem_geo] + [hbm] * 11,
+            out_specs=[hbm] * 10,
+            out_shape=[jax.ShapeDtypeStruct((k, rec_rows, W), jnp.float32)]
+            + [wide_t] * 9,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )
+
+    run_frames = make_call(2, 2 * k, 2 * k, bb=k, win_stride=3 * k,
+                           out_stride=k, geo_stride=bx - k)
+    run_int = make_call(n_int, n_int * bb, n_int * bb, bb=bb)
+
+    def local_sim(beta, Y, pulse, lix, liy):
+        px = jax.lax.axis_index("x")
+        py = jax.lax.axis_index("y")          # always 0 (my == 1)
+
+        beta_e = _exchange_halo(beta, k)      # [bx+2k, by+2k]
+        y_e = _exchange_halo(Y, k)
+
+        def widenc(a, rows):
+            a = a[:rows]       # drop surplus rows (tight interior grids)
+            return jnp.pad(a, ((0, rows - a.shape[0]),
+                               (0, W - a.shape[1])))
+
+        # static geometry per launch: frames see [ghost|2k top] stacked on
+        # [2k bottom|ghost]; the interior sees interior rows + the bottom
+        # ghost (its overshoot windows read past bx; pad rows are inert)
+        beta_fr = widenc(jnp.concatenate(
+            [beta_e[:3 * k], beta_e[-3 * k:]], axis=0), 6 * k)
+        y_fr = widenc(jnp.concatenate(
+            [y_e[:3 * k], y_e[-3 * k:]], axis=0), 6 * k)
+        beta_int = widenc(beta_e[k:], rows_int)
+        y_int = widenc(y_e[k:], rows_int)
+        geo_fr = jnp.stack([px * bx - k, py * by - k,
+                            lix, liy]).astype(jnp.int32).reshape(1, 4)
+        geo_int = jnp.stack([px * bx, py * by - k,
+                             lix, liy]).astype(jnp.int32).reshape(1, 4)
+
+        z_state = jnp.zeros((bx, by), jnp.float32)
+        z_acc = jnp.zeros((bx, W), jnp.float32)
+        onset0 = jnp.full((bx, W), jnp.inf, jnp.float32)
+        gz = jnp.zeros((k, W), jnp.float32)
+        t0s = (jnp.arange(rounds, dtype=jnp.int32) * k).reshape(rounds, 1, 1)
+        pulse_pad = jnp.zeros(T_pad, jnp.float32).at[:T].set(pulse)
+        pulse_rounds = pulse_pad.reshape(rounds, k, 1)
+
+        def colw(a):
+            # state [*, by] -> wide cols [*, W]: [k ghost cols | by | pad],
+            # all zero outside the interior (my == 1: no y neighbors)
+            return jnp.pad(a, ((0, 0), (k, W - by - k)))
+
+        def acc_int_rows(a):
+            # accumulator rows seen by the interior launch: [k, k+n_int*bb)
+            take = min(bx - k, n_int * bb)
+            return jnp.pad(a[k:k + take], ((0, n_int * bb - take), (0, 0)))
+
+        def one_round(carry, xt):
+            (p, vx, vy, onset, fx, fy, ed, ew, et,
+             gt_p, gt_vx, gt_vy, gb_p, gb_vx, gb_vy) = carry
+            t0, pulse_k = xt
+
+            # 1. frame launch (consumes last round's ghosts; round 0's
+            # zero ghosts are exact — all state is zero at t=0)
+            def fr_state(a, gt, gb):
+                aw = colw(a)
+                return jnp.concatenate(
+                    [gt, aw[:2 * k], aw[-2 * k:], gb], axis=0)
+
+            def fr_acc(a):
+                return jnp.concatenate([a[:k], a[-k:]], axis=0)
+
+            (rec_f, p_f, vx_f, vy_f, o_f, fx_f, fy_f,
+             ed_f, ew_f, et_f) = run_frames(
+                t0, pulse_k, geo_fr, beta_fr, y_fr,
+                fr_state(p, gt_p, gb_p), fr_state(vx, gt_vx, gb_vx),
+                fr_state(vy, gt_vy, gb_vy),
+                fr_acc(onset), fr_acc(fx), fr_acc(fy),
+                fr_acc(ed), fr_acc(ew), fr_acc(et))
+
+            # 2. exchange the NEW frames (depends only on the frame
+            # launch, so it can run under the interior launch below)
+            ngt_p = _from_prev(p_f[k:], "x")
+            ngt_vx = _from_prev(vx_f[k:], "x")
+            ngt_vy = _from_prev(vy_f[k:], "x")
+            ngb_p = _from_next(p_f[:k], "x")
+            ngb_vx = _from_next(vx_f[:k], "x")
+            ngb_vy = _from_next(vy_f[:k], "x")
+
+            # 3. interior launch: round-start state only, no ghosts
+            def int_state(a):
+                return jnp.pad(colw(a), ((0, rows_int - bx), (0, 0)))
+
+            (rec_m, p_m, vx_m, vy_m, o_m, fx_m, fy_m,
+             ed_m, ew_m, et_m) = run_int(
+                t0, pulse_k, geo_int, beta_int, y_int,
+                int_state(p), int_state(vx), int_state(vy),
+                acc_int_rows(onset), acc_int_rows(fx), acc_int_rows(fy),
+                acc_int_rows(ed), acc_int_rows(ew), acc_int_rows(et))
+
+            def asm(f, m):
+                return jnp.concatenate([f[:k], m[:mid], f[k:]], axis=0)
+
+            col = slice(k, k + by)
+            new_carry = (asm(p_f, p_m)[:, col], asm(vx_f, vx_m)[:, col],
+                         asm(vy_f, vy_m)[:, col],
+                         asm(o_f, o_m), asm(fx_f, fx_m), asm(fy_f, fy_m),
+                         asm(ed_f, ed_m), asm(ew_f, ew_m),
+                         asm(et_f, et_m),
+                         ngt_p, ngt_vx, ngt_vy, ngb_p, ngb_vx, ngb_vy)
+            return new_carry, (rec_f, rec_m)
+
+        carry0 = (z_state, z_state, z_state, onset0,
+                  z_acc, z_acc, z_acc, z_acc, z_acc,
+                  gz, gz, gz, gz, gz, gz)
+        final, (recs_f, recs_m) = jax.lax.scan(
+            one_round, carry0, (t0s, pulse_rounds))
+        (_, _, _, onset, fx, fy, ed, ew, et) = final[:9]
+        rf = recs_f.reshape(T_pad, 2 * k, W)
+        rm = recs_m.reshape(T_pad, n_int * bb, W)
+        col = slice(k, k + by)
+        if with_pressure:
+            pressure = jnp.concatenate(
+                [rf[:, :k], rm[:, :mid], rf[:, k:]], axis=1)[:T, :, col]
+        else:
+            pressure = jnp.zeros((0, bx, by), jnp.float32)
+        if not with_moments:
+            return (pressure, onset[:, col], fx[:, col], fy[:, col])
+        run_mom_f = pl.pallas_call(
+            functools.partial(
+                _tiled_moments_kernel, bx=2 * k, k=k, t_real=T,
+                dry_n=params.dry_gain_samples,
+                schro_off=params.schroeder_offset_samples,
+                n_rounds=rounds),
+            grid=(rounds, 1),
+            in_specs=[hbm, hbm],
+            out_specs=[hbm] * 3,
+            out_shape=[jax.ShapeDtypeStruct((2 * k, W), jnp.float32)] * 3,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )
+        run_mom_m = pl.pallas_call(
+            functools.partial(
+                _tiled_moments_kernel, bx=bb, k=k, t_real=T,
+                dry_n=params.dry_gain_samples,
+                schro_off=params.schroeder_offset_samples,
+                n_rounds=rounds),
+            grid=(rounds, n_int),
+            in_specs=[hbm, hbm],
+            out_specs=[hbm] * 3,
+            out_shape=[jax.ShapeDtypeStruct((n_int * bb, W),
+                                            jnp.float32)] * 3,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )
+        onset_f = jnp.concatenate([onset[:k], onset[-k:]], axis=0)
+        s0f, s1f, _ = run_mom_f(onset_f, rf)
+        s0m, s1m, _ = run_mom_m(acc_int_rows(onset), rm)
+
+        def asm2(f, m):
+            return jnp.concatenate([f[:k], m[:mid], f[k:]], axis=0)
+
+        s0 = asm2(s0f, s0m)
+        s1 = asm2(s1f, s1m)
+        return (pressure, onset[:, col], fx[:, col], fy[:, col],
+                ed[:, col], ew[:, col], et[:, col], s0[:, col], s1[:, col])
+
+    grid2 = P("x", "y")
+    n_out = 9 if with_moments else 4
+    shard = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(grid2, grid2, P(), P(), P()),
+        out_specs=(P(None, "x", "y"),) + (grid2,) * (n_out - 1),
+        check_vma=False,
+    )
+    Y = admittance(refl)
+    return shard(local_sim)(beta, Y, pulse, listener_ix, listener_iy)
+
+
 def _delegate_tiled_1x1(params: GridParams, beta, refl, pulse,
                         listener_ix, listener_iy,
                         nx_pad: int, ny_pad: int, halo: int,
@@ -831,16 +1093,19 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                 f"overlap=True needs a 1D ('x', N) mesh (y unsharded; "
                 f"got {mx}x{my}) — the boundary-frame split exchanges "
                 f"contiguous row slabs")
-        if banded:
-            raise ValueError(
-                "overlap=True needs shards whose round kernel fits VMEM "
-                "(the banded HBM path has no overlap split); use more "
-                "chips or overlap=False")
         if mx > 1:
             if bx < 3 * k:
                 raise ValueError(
                     f"overlap=True needs shard rows >= 3*halo (frame + "
                     f"doomed fringe + frame), got bx={bx} < {3 * k}")
+            if banded:
+                # beyond-VMEM shards get the same boundary-first split on
+                # the band-streamed kernel — the weak-scaling deployment
+                # shape (big per-chip worlds) hides its exchange too
+                return _overlap_banded_impl(
+                    params, beta, refl, pulse, listener_ix, listener_iy,
+                    mesh, bx, by, k, band_rows, interpret, with_moments,
+                    with_pressure)
             return _overlap_impl(params, beta, refl, pulse,
                                  listener_ix, listener_iy, mesh,
                                  bx, by, k, chunk, interpret, with_moments,

@@ -357,6 +357,47 @@ def test_sharded_overlap_matches_plain_rounds(shape, halo):
             np.asarray(getattr(mp, name)), err_msg=name)
 
 
+@pytest.mark.parametrize("shape,halo,band", [((8, 1), 4, 8), ((4, 1), 8, 8)])
+def test_sharded_banded_overlap_matches_plain(shape, halo, band):
+    """The banded OVERLAP rounds (solver_pallas._overlap_banded_impl:
+    2-band frame launch -> frame ppermute concurrent with the interior
+    band launch) must be BIT-identical to the plain banded rounds — same
+    generalized kernel, same per-cell op sequence, different windows.
+    This is the beyond-VMEM weak-scaling shape's hidden-exchange path."""
+    from planeverb_tpu.parallel.solver_pallas import (
+        simulate_moments_sharded, simulate_sharded_pallas)
+
+    p = compute_grid_params(PlaneverbConfig(
+        grid_size_x=25.0, grid_size_y=25.0, grid_resolution=275))
+    beta, refl = voxelize.voxelize_np(p, demo_scene("SmallRoom").boxes)
+    pulse = oracle.gaussian_pulse(p)
+    lix, liy = p.world_to_cell(12.5, 12.5)
+    n = shape[0] * shape[1]
+    mesh = grid_mesh(jax.devices()[:n], shape)
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh, multiple=8)
+    assert nx_pad // shape[0] >= 3 * halo
+    args = (p, _pad(beta, nx_pad, ny_pad), _pad(refl, nx_pad, ny_pad),
+            pulse, jnp.int32(lix), jnp.int32(liy), mesh, nx_pad, ny_pad)
+
+    plain = simulate_sharded_pallas(*args, halo=halo, interpret=True,
+                                    band_rows=band)
+    over = simulate_sharded_pallas(*args, halo=halo, interpret=True,
+                                   band_rows=band, overlap=True)
+    for name in ("pressure", "onset", "flux_x", "flux_y"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(over, name)),
+            np.asarray(getattr(plain, name)), err_msg=name)
+
+    _, mp = simulate_moments_sharded(*args, halo=halo, interpret=True,
+                                     band_rows=band)
+    _, mo = simulate_moments_sharded(*args, halo=halo, interpret=True,
+                                     band_rows=band, overlap=True)
+    for name in ("e_dry", "e_wet", "e_total", "s0", "s1"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(mo, name)),
+            np.asarray(getattr(mp, name)), err_msg=name)
+
+
 def test_sharded_overlap_rejects_bad_meshes():
     from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
 
