@@ -630,10 +630,11 @@ def main() -> None:
 
         # jitter honesty (VERDICT r5 item 7): flag any spread whose
         # min/max strays more than ~20% from its median so a reader never
-        # mistakes a tunnel-jitter-dominated value for signal
-        for row in extras.values():
+        # mistakes a tunnel-jitter-dominated value for signal (recursive:
+        # nested sub-rows like the per-resolution table get flagged too)
+        def _flag_jitter(row):
             if not isinstance(row, dict):
-                continue
+                return
             wide = [k for k, v in row.items()
                     if k.endswith("_spread") and isinstance(v, list)
                     and len(v) == 3 and v[1]
@@ -643,6 +644,11 @@ def main() -> None:
                     "spread beyond +-20% of median on: "
                     + ", ".join(w[:-7] for w in wide)
                     + " (tunnel jitter; medians are the signal)")
+            for v in list(row.values()):
+                _flag_jitter(v)
+
+        for row in extras.values():
+            _flag_jitter(row)
 
     # --- roofline accounting (see BASELINE.md "Roofline analysis"): the only
     # HBM traffic of the fused sim kernel is the [T_pad, npx, npy] recording

@@ -288,7 +288,9 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
-def _validate_mesh_halo(bx: int, by: int, halo: int, on_tpu: bool) -> None:
+def _validate_mesh_halo(bx: int, by: int, halo: int, on_tpu: bool,
+                        mx: int | None = None,
+                        my: int | None = None) -> None:
     """Mirror the banded round kernel's DMA-alignment requirement at
     Context construction: shards beyond the VMEM budget route to the
     banded kernel, whose row slices need ``halo % 8 == 0`` on TPU
@@ -296,13 +298,18 @@ def _validate_mesh_halo(bx: int, by: int, halo: int, on_tpu: bool) -> None:
     ``Context(halo=12)`` on a big-shard mesh fails at the first step()'s
     kernel compile deep inside the engine instead (ADVICE r4). The
     auto-picked halo is always a power of two >= 8 whenever a shard can
-    exceed VMEM, so only explicit user halos can trip this."""
+    exceed VMEM, so only explicit user halos can trip this. ``mx``/``my``
+    (mesh axis sizes, symmetric when omitted) make the footprint match
+    the solver's per-axis-ghost routing exactly, so a shard the fused
+    path would actually take is never spuriously rejected."""
     if not on_tpu or halo % 8 == 0:
         return
     from planeverb_tpu.ops.fdtd_pallas import _VMEM_BUDGET_BYTES
     from planeverb_tpu.parallel.solver_pallas import sharded_kernel_vmem_bytes
 
-    if (sharded_kernel_vmem_bytes(bx, by, halo, min(halo, 16))
+    kx = halo if (mx is None or mx > 1) else 0
+    ky = halo if (my is None or my > 1) else 0
+    if (sharded_kernel_vmem_bytes(bx, by, halo, min(halo, 16), kx, ky)
             > _VMEM_BUDGET_BYTES):
         raise ValueError(
             f"halo {halo} must be a multiple of 8: the ({bx}, {by}) "
@@ -396,7 +403,8 @@ class Context:
                                  f"({bx}, {by})")
             # interpret-mode Pallas off-TPU (CPU test meshes)
             self._interpret = mesh.devices.flat[0].platform != "tpu"
-            _validate_mesh_halo(bx, by, halo, on_tpu=not self._interpret)
+            _validate_mesh_halo(bx, by, halo, on_tpu=not self._interpret,
+                                mx=mesh.shape["x"], my=mesh.shape["y"])
             self._halo = halo
             # auto-overlap on 1D ("x", N) meshes: the boundary-first round
             # split hides the halo exchange under the interior kernel

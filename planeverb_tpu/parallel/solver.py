@@ -164,37 +164,48 @@ def simulate_sharded(params: GridParams, beta, refl, pulse,
     return FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
 
 
+def _from_prev(slab, axis_name):
+    """Neighbor slab from the previous shard along ``axis_name`` (zeros at
+    the global edge / on a size-1 axis)."""
+    n = jax.lax.axis_size(axis_name)
+    if n > 1:
+        return jax.lax.ppermute(slab, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    return jnp.zeros_like(slab)
+
+
+def _from_next(slab, axis_name):
+    n = jax.lax.axis_size(axis_name)
+    if n > 1:
+        return jax.lax.ppermute(slab, axis_name,
+                                [(i + 1, i) for i in range(n - 1)])
+    return jnp.zeros_like(slab)
+
+
+def _exchange_axes(x, kx, ky, axis_name_x="x", axis_name_y="y"):
+    """Per-axis ghost exchange: extend a [bx, by] block by ``kx``/``ky``
+    neighbor ghost cells per side (width 0 skips the axis entirely — the
+    r5 form for unsharded mesh axes, which need no ghosts). The y phase
+    runs second so it carries the corners when both widths are nonzero —
+    which the k-step diamond dependency cone needs. Missing neighbors
+    (global edges) fill with zeros, matching the zero padding of the
+    single-chip solver. The ONE halo-exchange implementation: the wide
+    solver, the fused/banded sharded rounds, and the overlap splits all
+    ride it (directly or via :func:`_exchange_halo`)."""
+    if kx:
+        top = _from_prev(x[-kx:], axis_name_x)        # prev's last rows
+        bot = _from_next(x[:kx], axis_name_x)         # next's first rows
+        x = jnp.concatenate([top, x, bot], axis=0)
+    if ky:
+        left = _from_prev(x[:, -ky:], axis_name_y)    # incl. corners
+        right = _from_next(x[:, :ky], axis_name_y)
+        x = jnp.concatenate([left, x, right], axis=1)
+    return x
+
+
 def _exchange_halo(x, halo, axis_name_x="x", axis_name_y="y"):
-    """Extend a [bx, by] block to [bx+2h, by+2h] with neighbor ghost cells.
-
-    Two-phase exchange: x-direction slabs first, then y-direction slabs of
-    the x-extended block — the second phase carries the corners, which the
-    k-step diamond dependency cone needs. Missing neighbors (global edges)
-    fill with zeros, matching the zero padding of the single-chip solver.
-    """
-    h = halo
-    nx_shards = jax.lax.axis_size(axis_name_x)
-    ny_shards = jax.lax.axis_size(axis_name_y)
-
-    def from_prev(slab, axis_name, n):
-        if n > 1:
-            return jax.lax.ppermute(slab, axis_name,
-                                    [(i, i + 1) for i in range(n - 1)])
-        return jnp.zeros_like(slab)
-
-    def from_next(slab, axis_name, n):
-        if n > 1:
-            return jax.lax.ppermute(slab, axis_name,
-                                    [(i + 1, i) for i in range(n - 1)])
-        return jnp.zeros_like(slab)
-
-    top = from_prev(x[-h:], axis_name_x, nx_shards)       # prev's last rows
-    bot = from_next(x[:h], axis_name_x, nx_shards)        # next's first rows
-    x = jnp.concatenate([top, x, bot], axis=0)            # [bx+2h, by]
-
-    left = from_prev(x[:, -h:], axis_name_y, ny_shards)   # incl. corners
-    right = from_next(x[:, :h], axis_name_y, ny_shards)
-    return jnp.concatenate([left, x, right], axis=1)      # [bx+2h, by+2h]
+    """Symmetric form of :func:`_exchange_axes`: [bx, by] -> [bx+2h, by+2h]."""
+    return _exchange_axes(x, halo, halo, axis_name_x, axis_name_y)
 
 
 def simulate_sharded_wide(params: GridParams, beta, refl, pulse,

@@ -63,9 +63,11 @@ from planeverb_tpu.config import BoundaryType, GridParams
 from planeverb_tpu.ops.fdtd import (FdtdResult, admittance,
                                     stencil_coefficients)
 from planeverb_tpu.ops.fdtd_pallas import (_VMEM_BUDGET_BYTES,
-                                           _moments_kernel, _steps_per_body)
+                                           _moments_kernel, _steps_per_body,
+                                           check_recording_elements)
 from planeverb_tpu.ops.fdtd_tiled import _tiled_moments_kernel
-from planeverb_tpu.parallel.solver import _exchange_halo
+from planeverb_tpu.parallel.solver import (_exchange_axes, _exchange_halo,
+                                           _from_next, _from_prev)
 
 __all__ = ["simulate_sharded_pallas", "simulate_moments_sharded",
            "pipeline_sharded", "sharded_kernel_vmem_bytes"]
@@ -433,40 +435,6 @@ def _banded_round_kernel(t0_ref, pulse_ref, geo_ref,
         rec_t=pltpu.VMEM((k, bb, w), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((11,)),
     )
-
-
-def _from_prev(slab, axis_name):
-    """Neighbor slab from the previous shard along ``axis_name`` (zeros at
-    the global edge / on a size-1 axis)."""
-    n = jax.lax.axis_size(axis_name)
-    if n > 1:
-        return jax.lax.ppermute(slab, axis_name,
-                                [(i, i + 1) for i in range(n - 1)])
-    return jnp.zeros_like(slab)
-
-
-def _from_next(slab, axis_name):
-    n = jax.lax.axis_size(axis_name)
-    if n > 1:
-        return jax.lax.ppermute(slab, axis_name,
-                                [(i + 1, i) for i in range(n - 1)])
-    return jnp.zeros_like(slab)
-
-
-def _exchange_axes(x, kx, ky, axis_name_x="x", axis_name_y="y"):
-    """Per-axis ghost exchange: parallel/solver.py::_exchange_halo with
-    independent widths, where width 0 skips the axis entirely — the r5
-    form for unsharded mesh axes, which need no ghosts at all. The y phase
-    runs second so it carries the corners when both widths are nonzero."""
-    if kx:
-        top = _from_prev(x[-kx:], axis_name_x)
-        bot = _from_next(x[:kx], axis_name_x)
-        x = jnp.concatenate([top, x, bot], axis=0)
-    if ky:
-        left = _from_prev(x[:, -ky:], axis_name_y)
-        right = _from_next(x[:, :ky], axis_name_y)
-        x = jnp.concatenate([left, x, right], axis=1)
-    return x
 
 
 def _pick_shard_band(bx: int, w: int, k: int,
@@ -1158,8 +1126,6 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         # from divisibility so big bands can amortize halo-row compute
         bxp = -(-bx // bb) * bb
         if not interpret:
-            from planeverb_tpu.ops.fdtd_pallas import check_recording_elements
-
             check_recording_elements(T_pad, bxp, W,
                                      "banded sharded rounds (per shard)")
         if not interpret and (bb % 8 != 0 or k % 8 != 0):
@@ -1431,12 +1397,19 @@ def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
     Shards whose round kernel would exceed the VMEM budget are routed
     automatically to the band-streamed round kernel (HBM state,
     :func:`_banded_round_kernel`) — the multi-chip engine spans grids of
-    any size, like the single-device ``simulate_auto``. ``band_rows``
-    forces that path with an explicit band height (any positive value —
-    the interior is row-padded to a band multiple — but on TPU it and
-    ``halo`` must both be multiples of 8, for sublane-aligned DMA;
-    bigger bands trade minutes of Mosaic compile time for ~15 % throughput,
-    see :func:`_pick_shard_band`).
+    any size, like the single-device ``simulate_auto`` — and an
+    exchange-free beyond-VMEM 1x1 mesh delegates to the tiled kernel
+    outright (:func:`_delegate_tiled_1x1`). ``band_rows`` forces the
+    banded path with an explicit band height (any positive value — the
+    interior is row-padded to a band multiple — but on TPU it and
+    ``halo`` must both be multiples of 8, for sublane-aligned DMA; see
+    :func:`_pick_shard_band`).
+
+    ``overlap=True`` (1D ("x", N) meshes with shard rows >= 3*halo)
+    restructures each round boundary-first so the frame ppermute runs
+    concurrently with the interior kernel — :func:`_overlap_impl` for
+    VMEM-resident shards, :func:`_overlap_banded_impl` beyond — with
+    results BIT-identical to the plain rounds (parity tests pin it).
     """
     pressure, onset, fx, fy = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,

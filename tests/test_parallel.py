@@ -398,6 +398,61 @@ def test_sharded_banded_overlap_matches_plain(shape, halo, band):
             np.asarray(getattr(mp, name)), err_msg=name)
 
 
+def test_noninterpret_paths_trace_cleanly():
+    """The `if not interpret:` guard blocks (recording-element checks, DMA
+    alignment) only execute on real-TPU traces, which the CPU parity
+    tests never reach — an unimported name there ships a path that is
+    dead on arrival on hardware (r5 code review caught exactly that in
+    the banded-overlap guard). jax.eval_shape traces the full
+    non-interpret path abstractly (no Mosaic compile), so any trace-time
+    error surfaces here for every sharded routing variant."""
+    import functools
+
+    from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
+
+    p = compute_grid_params(PlaneverbConfig(
+        grid_size_x=25.0, grid_size_y=25.0, grid_resolution=275))
+    mesh = grid_mesh(jax.devices()[:4], (4, 1))   # bx=24 >= 3*halo
+    nx_pad, ny_pad = pad_to_mesh(p.nx, p.ny, mesh, multiple=8)
+    lix, liy = p.world_to_cell(12.5, 12.5)
+    field = jax.ShapeDtypeStruct((nx_pad, ny_pad), jnp.float32)
+    pulse = jax.ShapeDtypeStruct((p.response_length,), jnp.float32)
+
+    def trace(**kw):
+        fn = functools.partial(
+            simulate_sharded_pallas, p,
+            listener_ix=jnp.int32(lix), listener_iy=jnp.int32(liy),
+            mesh=mesh, nx_pad=nx_pad, ny_pad=ny_pad,
+            halo=8, interpret=False, **kw)
+        out = jax.eval_shape(lambda b, r, pu: fn(b, r, pu),
+                             field, field, pulse)
+        assert out.onset.shape == (nx_pad, ny_pad)
+
+    trace()                                  # fused rounds
+    trace(overlap=True)                      # fused overlap split
+    trace(band_rows=8)                       # banded rounds
+    trace(band_rows=8, overlap=True)         # banded overlap split
+
+    # 1x1 beyond-VMEM delegation (tiled kernel) — eval_shape on a 1x1 mesh
+    mesh1 = grid_mesh(jax.devices()[:1], (1, 1))
+    nx1, ny1 = pad_to_mesh(p.nx, p.ny, mesh1, multiple=8)
+    f1 = jax.ShapeDtypeStruct((nx1, ny1), jnp.float32)
+    import planeverb_tpu.parallel.solver_pallas as sp
+    orig = sp._VMEM_BUDGET_BYTES
+    try:
+        sp._VMEM_BUDGET_BYTES = 0            # force the delegated route
+        sp.simulate_sharded_pallas.clear_cache()
+        out = jax.eval_shape(
+            lambda b, r, pu: simulate_sharded_pallas(
+                p, b, r, pu, jnp.int32(lix), jnp.int32(liy), mesh1,
+                nx1, ny1, halo=8, interpret=False),
+            f1, f1, pulse)
+        assert out.onset.shape == (nx1, ny1)
+    finally:
+        sp._VMEM_BUDGET_BYTES = orig
+        sp.simulate_sharded_pallas.clear_cache()
+
+
 def test_sharded_overlap_rejects_bad_meshes():
     from planeverb_tpu.parallel.solver_pallas import simulate_sharded_pallas
 
