@@ -69,9 +69,13 @@ def _pipeline_packed(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
     measured ~235 ms per iteration — 30x the 7.7 ms of actual compute. One
     packed array = one fetch (layout: :func:`_pack`).
     """
+    # full_pressure: keep the recording UNcropped on device — the [:T]
+    # crop is a full-recording copy per step (0.665 ms measured at the
+    # headline grid, nearly a whole extra device pass);
+    # get_impulse_response crops lazily at query time instead
     res, out = pipeline_auto(params, beta, refl, pulse, cix, ciy, efree,
                              lx, lz, compute_directions=compute_directions,
-                             state_dtype=state_dtype)
+                             state_dtype=state_dtype, full_pressure=True)
     return res.pressure, _pack(out)
 
 
@@ -120,7 +124,8 @@ def _pipeline_packed_sharded(params, beta, refl, pulse, cix, ciy, efree,
     res, out = pipeline_sharded(
         params, beta, refl, pulse, cix, ciy, mesh, nx_pad, ny_pad,
         efree, lx, lz, halo=halo, interpret=interpret,
-        compute_directions=compute_directions, overlap=overlap)
+        compute_directions=compute_directions, overlap=overlap,
+        full_pressure=True)   # lazy-crop at query (see _pipeline_packed)
     return res.pressure, _pack(out)
 
 
@@ -661,7 +666,7 @@ class Context:
             published = {
                 **_grids_dict(np.asarray(packed)),
                 "listener": (lx, lz),
-                "pressure": pressure,          # device [T, nx, ny]
+                "pressure": pressure,  # device, UNcropped [T_pad, ...]
             }
         self._published = published            # single atomic assignment
         with self._iter_cond:
@@ -782,7 +787,7 @@ class Context:
                 "cells": cache,
                 "packed_device": packed,       # device [gx, gy, 9]
                 "listener": (lx, lz),
-                "pressure": pressure,          # device [T, nx, ny]
+                "pressure": pressure,  # device, UNcropped [T_pad, ...]
             }
         self._published = published
         with self._iter_cond:
@@ -928,9 +933,13 @@ class Context:
         if not (0 <= cx < p.nx and 0 <= cy < p.ny):
             return np.zeros(0, np.float32)
         # device-side f32 cast: the recording is bf16 in precision="bf16"
-        # mode, and numpy has no native bfloat16
+        # mode, and numpy has no native bfloat16. The published recording
+        # is UNcropped ([T_pad, padded...] — keeping the kernel output
+        # buffer avoids a full-recording device copy per step); crop the
+        # time axis here, at query time
         return np.asarray(
-            published["pressure"][:, cx, cy].astype(jnp.float32))
+            published["pressure"][:p.response_length, cx,
+                                  cy].astype(jnp.float32))
 
     # --------------------------------------------------------------- admin
     def profile_summary(self) -> dict:

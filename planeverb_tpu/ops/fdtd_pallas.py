@@ -407,23 +407,36 @@ def simulate_pallas(params: GridParams, beta, refl, pulse,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "chunk",
-                                             "state_dtype"))
+                                             "state_dtype", "full_pressure"))
 def simulate_moments_pallas(params: GridParams, beta, refl, pulse,
                             listener_ix, listener_iy,
                             interpret: bool = False, chunk: int = 16,
-                            state_dtype=jnp.float32):
+                            state_dtype=jnp.float32,
+                            full_pressure: bool = False):
     """Sim + analyzer moments entirely in Pallas.
 
     Returns (FdtdResult, analyzer.Moments): the windowed energies stream
     inside the sim kernel; the RT60 regression moments come from one
     backward pass over the recording (the only re-read of it). Moments are
     always f32, also in the bf16 state mode.
+
+    ``full_pressure=True`` returns the recording UNcropped
+    ([T_pad, npx, npy] — the pallas output buffer itself, rows past
+    ``response_length`` hold harmless continued simulation): the ``[:T]``
+    crop is a full-recording device copy (measured 0.665 ms/pass at the
+    headline 192x192@750 grid on v5e — nearly a whole extra device pass),
+    so resident-pressure callers that can crop lazily at query time (the
+    engine, core/context.py) should. Default stays cropped for exact-[T]
+    consumers.
     """
     from planeverb_tpu.ops.analyzer import Moments
 
     res, (rec_padded, ed, ew, et) = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy,
         interpret=interpret, chunk=chunk, state_dtype=state_dtype)
+    if full_pressure:
+        res = FdtdResult(pressure=rec_padded, onset=res.onset,
+                         flux_x=res.flux_x, flux_y=res.flux_y)
     npx, npy = ed.shape
     T = params.response_length
     T_pad = rec_padded.shape[0]
@@ -731,11 +744,12 @@ def simulate_auto(params: GridParams, beta, refl, pulse,
 
 @functools.partial(jax.jit,
                    static_argnames=("params", "compute_directions",
-                                    "state_dtype"))
+                                    "state_dtype", "full_pressure"))
 def pipeline_auto(params: GridParams, beta, refl, pulse,
                   listener_ix, listener_iy, efree, listener_x, listener_z,
                   compute_directions: bool = True,
-                  state_dtype=jnp.float32):
+                  state_dtype=jnp.float32,
+                  full_pressure: bool = False):
     """Full pass: sim + analysis, fastest available path per platform.
 
     Returns (FdtdResult, AnalyzerResults). On TPU the analyzer moments are
@@ -745,6 +759,12 @@ def pipeline_auto(params: GridParams, beta, refl, pulse,
     ``state_dtype=jnp.bfloat16`` opts the fused kernel into half-precision
     wave state (TPU VMEM-resident path only; the tiled and lax.scan paths
     ignore it — they are the parity references).
+
+    ``full_pressure=True`` keeps FdtdResult.pressure UNcropped (the
+    [T_pad(, band/lane-padded)] recording buffer itself — crop at query
+    time): the ``[:T]`` crop is a full-recording device copy per pass
+    (see :func:`simulate_moments_pallas`). No-op on the CPU scan path,
+    whose recording is exactly [T].
 
     The whole pass compiles as ONE program: on the tunneled TPU backend
     each jitted call pays a fixed dispatch round-trip, and staging
@@ -759,12 +779,13 @@ def pipeline_auto(params: GridParams, beta, refl, pulse,
         if fits_vmem(params, state_dtype=state_dtype):
             res, moments = simulate_moments_pallas(
                 params, beta, refl, pulse, listener_ix, listener_iy,
-                state_dtype=state_dtype)
+                state_dtype=state_dtype, full_pressure=full_pressure)
         else:
             from planeverb_tpu.ops.fdtd_tiled import simulate_moments_tiled
 
             res, moments = simulate_moments_tiled(
-                params, beta, refl, pulse, listener_ix, listener_iy)
+                params, beta, refl, pulse, listener_ix, listener_iy,
+                full_pressure=full_pressure)
     else:
         res = fdtd_scan.simulate(params, beta, refl, pulse,
                                  listener_ix, listener_iy)

@@ -521,12 +521,14 @@ def _tiled_rt60_moments(params: GridParams, onset, rec_pad,
 
 @functools.partial(jax.jit,
                    static_argnames=("params", "band_rows", "halo",
-                                    "interpret", "return_pressure"))
+                                    "interpret", "return_pressure",
+                                    "full_pressure"))
 def simulate_moments_tiled(params: GridParams, beta, refl, pulse,
                            listener_ix, listener_iy,
                            band_rows: int | None = None,
                            halo: int = 16, interpret: bool = False,
-                           return_pressure: bool = True):
+                           return_pressure: bool = True,
+                           full_pressure: bool = False):
     """Tiled sim + full analyzer moments (large-grid analog of
     fdtd_pallas.simulate_moments_pallas). Returns (FdtdResult, Moments).
 
@@ -535,14 +537,21 @@ def simulate_moments_tiled(params: GridParams, beta, refl, pulse,
     in cells-publish mode) then don't force a second recording-sized
     output buffer into HBM — on XL grids (~8 GB recordings) keeping both
     the internal slab buffer and the sliced output alive exhausts the
-    chip."""
+    chip. ``full_pressure=True`` returns the recording UNcropped
+    ([T_pad, npx, npy], the slab buffer itself — no copy at all); crop at
+    query time (fdtd_pallas.simulate_moments_pallas's note — the [:T]
+    crop is a recording-sized device copy, GBs here)."""
     from planeverb_tpu.ops.analyzer import Moments
 
     rec_pad, onset, fx, fy, ed, ew, et = _simulate_tiled_impl(
         params, beta, refl, pulse, listener_ix, listener_iy,
         band_rows=band_rows, halo=halo, interpret=interpret)
-    pressure = (rec_pad[:params.response_length] if return_pressure
-                else rec_pad[:0])
+    if not return_pressure:
+        pressure = rec_pad[:0]
+    elif full_pressure:
+        pressure = rec_pad
+    else:
+        pressure = rec_pad[:params.response_length]
     res = FdtdResult(pressure=pressure, onset=onset,
                      flux_x=fx, flux_y=fy)
     s0, s1 = _tiled_rt60_moments(params, res.onset, rec_pad,

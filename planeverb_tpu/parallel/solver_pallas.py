@@ -484,7 +484,8 @@ def _overlap_impl(params: GridParams, beta, refl, pulse,
                   listener_ix, listener_iy, mesh: Mesh,
                   bx: int, by: int, k: int, chunk: int,
                   interpret: bool, with_moments: bool,
-                  with_pressure: bool = True):
+                  with_pressure: bool = True,
+                  full_pressure: bool = False):
     """Rounds with halo exchange OVERLAPPED by interior compute (r5).
 
     The plain rounds are strictly sequential per round: exchange ghosts,
@@ -697,7 +698,8 @@ def _overlap_impl(params: GridParams, beta, refl, pulse,
         rm = recs_m.reshape(T_pad, mid, by)
         rb = recs_b.reshape(T_pad, k, by)
         if with_pressure:
-            pressure = jnp.concatenate([rt, rm, rb], axis=1)[:T]
+            t_keep = T_pad if full_pressure else T
+            pressure = jnp.concatenate([rt, rm, rb], axis=1)[:t_keep]
         else:
             pressure = jnp.zeros((0, bx, by), jnp.float32)
         if not with_moments:
@@ -726,7 +728,8 @@ def _overlap_banded_impl(params: GridParams, beta, refl, pulse,
                          listener_ix, listener_iy, mesh: Mesh,
                          bx: int, by: int, k: int,
                          band_rows: int | None, interpret: bool,
-                         with_moments: bool, with_pressure: bool):
+                         with_moments: bool, with_pressure: bool,
+                         full_pressure: bool = False):
     """Overlap rounds for BEYOND-VMEM shards (r5): the boundary-first
     split of :func:`_overlap_impl` applied to the band-streamed HBM
     kernel, so the weak-scaling deployment shape (big per-chip worlds —
@@ -914,8 +917,10 @@ def _overlap_banded_impl(params: GridParams, beta, refl, pulse,
         rm = recs_m.reshape(T_pad, n_int * bb, W)
         col = slice(k, k + by)
         if with_pressure:
+            t_keep = T_pad if full_pressure else T
             pressure = jnp.concatenate(
-                [rf[:, :k], rm[:, :mid], rf[:, k:]], axis=1)[:T, :, col]
+                [rf[:, :k], rm[:, :mid], rf[:, k:]],
+                axis=1)[:t_keep, :, col]
         else:
             pressure = jnp.zeros((0, bx, by), jnp.float32)
         if not with_moments:
@@ -976,7 +981,8 @@ def _delegate_tiled_1x1(params: GridParams, beta, refl, pulse,
                         listener_ix, listener_iy,
                         nx_pad: int, ny_pad: int, halo: int,
                         interpret: bool, with_moments: bool,
-                        with_pressure: bool = True):
+                        with_pressure: bool = True,
+                        full_pressure: bool = False):
     """Exchange-free 1x1-mesh route of :func:`_simulate_impl`: the tiled
     kernel (one launch, HBM-resident state) with results SLICED to the
     sharded contract's [nx_pad, ny_pad] shapes. The tiled padding is a
@@ -1002,8 +1008,14 @@ def _delegate_tiled_1x1(params: GridParams, beta, refl, pulse,
     def fit(a):
         return a[:nx_pad, :ny_pad]
 
-    t_keep = T if with_pressure else 0
-    pressure = rec[:t_keep, :nx_pad, :ny_pad]
+    if with_pressure and full_pressure:
+        # the slab buffer itself, [T_pad, npx_tiled, npy_tiled] (a spatial
+        # superset of the contract shape, silent pads): no recording copy
+        # at all — lazy-crop callers (the engine) index [:T, cx<nx, cy<ny]
+        pressure = rec
+    else:
+        t_keep = T if with_pressure else 0
+        pressure = rec[:t_keep, :nx_pad, :ny_pad]
     if not with_moments:
         return pressure, fit(onset), fit(fx), fit(fy)
     s0, s1 = _tiled_rt60_moments(params, onset, rec, None, halo, interpret)
@@ -1016,7 +1028,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                    nx_pad: int, ny_pad: int, halo: int,
                    chunk: int | None, interpret: bool,
                    with_moments: bool, band_rows: int | None = None,
-                   overlap: bool = False, with_pressure: bool = True):
+                   overlap: bool = False, with_pressure: bool = True,
+                   full_pressure: bool = False):
     gx, gy = params.grid_x, params.grid_y
     absorbing = params.boundary_type == BoundaryType.ABSORBING
     T = params.response_length
@@ -1073,11 +1086,11 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
                 return _overlap_banded_impl(
                     params, beta, refl, pulse, listener_ix, listener_iy,
                     mesh, bx, by, k, band_rows, interpret, with_moments,
-                    with_pressure)
+                    with_pressure, full_pressure)
             return _overlap_impl(params, beta, refl, pulse,
                                  listener_ix, listener_iy, mesh,
                                  bx, by, k, chunk, interpret, with_moments,
-                                 with_pressure)
+                                 with_pressure, full_pressure)
         # mx == 1: a single shard exchanges nothing — the plain rounds
         # below are already communication-free
 
@@ -1100,7 +1113,8 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         return _delegate_tiled_1x1(params, beta, refl, pulse,
                                    listener_ix, listener_iy,
                                    nx_pad, ny_pad, k, interpret,
-                                   with_moments, with_pressure)
+                                   with_moments, with_pressure,
+                                   full_pressure)
 
     cell_t = jax.ShapeDtypeStruct((bx, by), jnp.float32)
 
@@ -1351,9 +1365,11 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
         else:
             rows = col = slice(None)
         # moments-only callers drop the [T, ...] recording output (the
-        # slab stays internal; skipping the [:T] crop saves a full-
-        # recording copy at the jit boundary)
-        pressure = recs[:T if with_pressure else 0, rows, col]
+        # slab stays internal); full_pressure keeps the padded rows so
+        # the fused path's output is the identity (no recording copy —
+        # crop at query time, see fdtd_pallas.simulate_moments_pallas)
+        t_keep = (T_pad if full_pressure else T) if with_pressure else 0
+        pressure = recs[:t_keep, rows, col]
         if not with_moments:
             return pressure, onset[rows, col], fx[rows, col], fy[rows, col]
         # backward RT60 regression pass, fully shard-local (the recording
@@ -1421,7 +1437,7 @@ def simulate_sharded_pallas(params: GridParams, beta, refl, pulse,
 @functools.partial(
     jax.jit, static_argnames=("params", "mesh", "nx_pad", "ny_pad", "halo",
                               "chunk", "interpret", "band_rows", "overlap",
-                              "with_pressure"))
+                              "with_pressure", "full_pressure"))
 def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
                              listener_ix, listener_iy, mesh: Mesh,
                              nx_pad: int, ny_pad: int, halo: int = 16,
@@ -1429,7 +1445,8 @@ def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
                              interpret: bool = False,
                              band_rows: int | None = None,
                              overlap: bool = False,
-                             with_pressure: bool = True):
+                             with_pressure: bool = True,
+                             full_pressure: bool = False):
     """Sharded sim + in-kernel analyzer moments (multi-chip analog of
     ops/fdtd_pallas.py::simulate_moments_pallas).
 
@@ -1448,7 +1465,8 @@ def simulate_moments_sharded(params: GridParams, beta, refl, pulse,
     pressure, onset, fx, fy, ed, ew, et, s0, s1 = _simulate_impl(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
         nx_pad, ny_pad, halo, chunk, interpret, with_moments=True,
-        band_rows=band_rows, overlap=overlap, with_pressure=with_pressure)
+        band_rows=band_rows, overlap=overlap, with_pressure=with_pressure,
+        full_pressure=full_pressure)
     res = FdtdResult(pressure=pressure, onset=onset, flux_x=fx, flux_y=fy)
     return res, Moments(e_dry=ed, e_wet=ew, e_total=et, s0=s0, s1=s1)
 
@@ -1461,7 +1479,8 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
                      compute_directions: bool = True,
                      band_rows: int | None = None,
                      overlap: bool = False,
-                     with_pressure: bool = True):
+                     with_pressure: bool = True,
+                     full_pressure: bool = False):
     """Full multi-chip pass: sharded sim + in-kernel moments + parameter
     assembly. Returns (FdtdResult, AnalyzerResults) — the multi-chip analog
     of ops/fdtd_pallas.py::pipeline_auto; results are cropped to the
@@ -1471,7 +1490,8 @@ def pipeline_sharded(params: GridParams, beta, refl, pulse,
     res, moments = simulate_moments_sharded(
         params, beta, refl, pulse, listener_ix, listener_iy, mesh,
         nx_pad, ny_pad, halo=halo, chunk=chunk, interpret=interpret,
-        band_rows=band_rows, overlap=overlap, with_pressure=with_pressure)
+        band_rows=band_rows, overlap=overlap, with_pressure=with_pressure,
+        full_pressure=full_pressure)
     nx, ny = params.nx, params.ny
     crop = analyzer.Moments(
         e_dry=moments.e_dry[:nx, :ny], e_wet=moments.e_wet[:nx, :ny],

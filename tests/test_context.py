@@ -184,9 +184,12 @@ def test_impulse_response_honors_grid_offset():
     ir = ctx.get_impulse_response(-14.0, 9.0)
     assert ir.shape == (ctx.params.response_length,)
     assert np.abs(ir).max() > 0
-    # the probed cell is exactly the world_to_cell one
+    # the probed cell is exactly the world_to_cell one (the published
+    # recording is uncropped [T_pad, ...] — kept as the kernel output
+    # buffer to avoid a per-step full-recording copy; the accessor crops)
     cx, cy = ctx.params.world_to_cell(-14.0, 9.0)
-    np.testing.assert_array_equal(ir, ctx._published["pressure"][:, cx, cy])
+    np.testing.assert_array_equal(
+        ir, ctx._published["pressure"][:ctx.params.response_length, cx, cy])
 
     # out of bounds -> empty, not edge-clamped
     assert ctx.get_impulse_response(5.0, 9.0).size == 0
