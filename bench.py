@@ -472,6 +472,54 @@ def main() -> None:
                     "(r3: 5.45 ms/listener)",
         }
 
+    # --- the ENGINE's publish shape (r5): Context.step returns the
+    # recording as a resident jit output. The old [:T] crop was a
+    # full-recording device copy that only the engine paid (benches
+    # consume parameters, so XLA DCE'd it); the row pins the lazy-crop
+    # win by timing both variants' dispatch-inclusive walls.
+    def _engine_publish():
+        @jax.jit
+        def step_full(eps):
+            res, out = pipeline_auto(params, beta, refl,
+                                     pulse * (1.0 + eps), lix, liy,
+                                     jnp.float32(1.0), jnp.float32(12.5),
+                                     jnp.float32(12.5), full_pressure=True)
+            return res.pressure, out.occlusion[5, 5]
+
+        @jax.jit
+        def step_crop(eps):
+            res, out = pipeline_auto(params, beta, refl,
+                                     pulse * (1.0 + eps), lix, liy,
+                                     jnp.float32(1.0), jnp.float32(12.5),
+                                     jnp.float32(12.5))
+            return res.pressure, out.occlusion[5, 5]
+
+        def one_full(eps):
+            _, occ = step_full(eps)
+            return occ * 1e-3
+
+        def one_crop(eps):
+            _, occ = step_crop(eps)
+            return occ * 1e-3
+
+        float(np.asarray(one_full(0.0)))
+        float(np.asarray(one_crop(0.0)))
+        sf = time_chained_stats(one_full, n=20, reps=7)
+        sc = time_chained_stats(one_crop, n=20, reps=7)
+        return {
+            "publish_full_ms": round(sf["median_s"] * 1e3, 3),
+            "publish_full_ms_spread": spread_ms(sf),
+            "publish_cropped_ms": round(sc["median_s"] * 1e3, 3),
+            "publish_cropped_ms_spread": spread_ms(sc),
+            "crop_copy_ms": round((sc["median_s"] - sf["median_s"]) * 1e3,
+                                  3),
+            "note": "resident-pressure engine step: full = uncropped "
+                    "recording published (the r5 lazy-crop path "
+                    "Context uses), cropped = the old rec[:T] publish — "
+                    "the difference is the per-step full-recording copy "
+                    "the engine no longer pays",
+        }
+
     # --- the DOA pass as an artifact row: full pipeline with vs without
     # directions, device scan slopes. Pins the r4 gather-free rewrite's
     # claim (the r3 pointer-jumping pass cost ~2.2 ms of [n]-gathers here).
@@ -616,6 +664,7 @@ def main() -> None:
                         ("bf16_mode", _bf16_mode),
                         ("bf16_capacity", _bf16_capacity),
                         ("multi_listener", _multi_listener),
+                        ("engine_publish", _engine_publish),
                         ("doa_cost", _doa_cost),
                         ("sharded_pallas_1x1", _sharded_pallas),
                         ("sharded_banded_1x1", _sharded_banded_auto),
