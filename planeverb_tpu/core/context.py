@@ -87,8 +87,10 @@ def _pipeline_cells(params, beta, refl, pulse, cix, ciy, efree, lx, lz,
                     state_dtype=jnp.float32):
     """_pipeline_packed + an on-device gather of the query cells' rows.
 
-    ``cells`` is [Q, 2] int32 (pow2-padded). Returns (pressure [T, nx, ny]
-    device, packed [gx, gy, 9] device, rows [Q, 9]) — callers fetch only
+    ``cells`` is [Q, 2] int32 (pow2-padded). Returns (pressure — device,
+    UNcropped [T_pad, padded...] per the lazy-crop publish, see
+    :func:`_pipeline_packed` — packed [gx, gy, 9] device, rows [Q, 9]):
+    callers fetch only
     ``rows`` (a few hundred bytes) instead of the ~1.3 MB grid: the tunnel
     moves ~15 MB/s with a ~35 ms floor, so per-emitter publishing is the
     difference between ~9 Hz and ~25 Hz parameter refresh. The full packed
@@ -662,7 +664,9 @@ class Context:
         with self.timer.stage("publish"):
             # single host fetch of the packed result grids (see
             # _pipeline_packed: per-array fetches cost a tunnel round-trip
-            # each); the [T, nx, ny] recording stays on device.
+            # each); the recording stays on device, UNcropped
+            # [T_pad, padded...] (get_impulse_response crops at query —
+            # the [:T] crop would cost a full-recording copy per step).
             published = {
                 **_grids_dict(np.asarray(packed)),
                 "listener": (lx, lz),

@@ -698,8 +698,10 @@ def _overlap_impl(params: GridParams, beta, refl, pulse,
         rm = recs_m.reshape(T_pad, mid, by)
         rb = recs_b.reshape(T_pad, k, by)
         if with_pressure:
-            t_keep = T_pad if full_pressure else T
-            pressure = jnp.concatenate([rt, rm, rb], axis=1)[:t_keep]
+            # the row concat is the (one) unavoidable copy here; slicing
+            # it to [:T] folds into a smaller concat, so full_pressure
+            # would only enlarge it — always publish the cropped form
+            pressure = jnp.concatenate([rt, rm, rb], axis=1)[:T]
         else:
             pressure = jnp.zeros((0, bx, by), jnp.float32)
         if not with_moments:
@@ -917,10 +919,11 @@ def _overlap_banded_impl(params: GridParams, beta, refl, pulse,
         rm = recs_m.reshape(T_pad, n_int * bb, W)
         col = slice(k, k + by)
         if with_pressure:
-            t_keep = T_pad if full_pressure else T
+            # concat + column slice are the unavoidable copies here;
+            # full_pressure would only enlarge them (see the plain banded
+            # note in _simulate_impl) — always publish the cropped form
             pressure = jnp.concatenate(
-                [rf[:, :k], rm[:, :mid], rf[:, k:]],
-                axis=1)[:t_keep, :, col]
+                [rf[:, :k], rm[:, :mid], rf[:, k:]], axis=1)[:T, :, col]
         else:
             pressure = jnp.zeros((0, bx, by), jnp.float32)
         if not with_moments:
@@ -1366,9 +1369,17 @@ def _simulate_impl(params: GridParams, beta, refl, pulse,
             rows = col = slice(None)
         # moments-only callers drop the [T, ...] recording output (the
         # slab stays internal); full_pressure keeps the padded rows so
-        # the fused path's output is the identity (no recording copy —
-        # crop at query time, see fdtd_pallas.simulate_moments_pallas)
-        t_keep = (T_pad if full_pressure else T) if with_pressure else 0
+        # the FUSED path's output is the identity (no recording copy —
+        # crop at query time, see fdtd_pallas.simulate_moments_pallas).
+        # The banded path's lane-pad column slice is non-identity either
+        # way, so there full_pressure would only enlarge the unavoidable
+        # copy — keep the [:T] crop (publish fewer rows).
+        if not with_pressure:
+            t_keep = 0
+        elif banded or not full_pressure:
+            t_keep = T
+        else:
+            t_keep = T_pad
         pressure = recs[:t_keep, rows, col]
         if not with_moments:
             return pressure, onset[rows, col], fx[rows, col], fy[rows, col]
