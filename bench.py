@@ -641,7 +641,35 @@ def main() -> None:
         t_dev, dev_spread = _scan_slope(one)
         t_pad_r = -(-T // 16) * 16
         rate_round = nx_pad * ny_pad * t_pad_r / t_dev
-        return {"mesh": "1x1", "halo": 16,
+
+        # the projection model's TWO-parameter calibration (r5): device
+        # scan slopes across halo periods fit
+        #   t_round = cells * k / rate_inf + c_round
+        # (least squares over the per-round walls) — rate_inf is the
+        # kernel's asymptotic rate and c_round the fixed launch + state
+        # round-trip; parallel/scaling.py charges both per candidate mesh
+        halo_rows = {}
+        pts = []
+        for kk in (8, 16, 32):
+            def one_k(eps, kk=kk):
+                res, mom = simulate_moments_sharded(
+                    params, bp, rp, pulse * (1.0 + eps), jnp.int32(lix),
+                    jnp.int32(liy), mesh, nx_pad, ny_pad, halo=kk)
+                return mom.e_total[5, 5] * 1e-3
+
+            tk, spk = (t_dev, dev_spread) if kk == 16 \
+                else _scan_slope(one_k)
+            rounds_k = -(-T // kk)
+            halo_rows[str(kk)] = {"device_scan_ms": round(tk * 1e3, 3),
+                                  "device_scan_ms_spread": spk}
+            pts.append((nx_pad * ny_pad * kk, tk / rounds_k))
+        A = np.array([[c, 1.0] for c, _ in pts])
+        y = np.array([w for _, w in pts])
+        (inv_rate, c_round), *_ = np.linalg.lstsq(A, y, rcond=None)
+        fit = {"rate_inf_gcups": round(1e-9 / inv_rate, 2),
+               "round_overhead_us": round(c_round * 1e6, 2)}
+
+        return {"mesh": "1x1",
                 "wall_ms": round(t * 1e3, 2),
                 "wall_ms_spread": spread_ms(s),
                 "gcups": round(cell_updates / t / 1e9, 2),
@@ -649,10 +677,13 @@ def main() -> None:
                 "device_scan_ms_spread": dev_spread,
                 "device_gcups": round(cell_updates / t_dev / 1e9, 2),
                 "rate_round_gcups": round(rate_round / 1e9, 2),
-                "note": "rate_round_gcups = round-kernel cells/s from the "
-                        "device scan slope — the projected_efficiency "
-                        "calibration input (BASELINE.md); wall_ms is the "
-                        "dispatch-inclusive chained median (sim+moments "
+                "halo_sweep": halo_rows,
+                "round_structure_fit": fit,
+                "note": "round_structure_fit = the projected_efficiency "
+                        "calibration (BASELINE.md): asymptotic kernel "
+                        "rate + fixed per-round overhead from the halo "
+                        "sweep; wall_ms is the dispatch-inclusive "
+                        "chained median at halo=16 (sim+moments "
                         "consumed, recording stays on device)"}
 
     if platform == "tpu":

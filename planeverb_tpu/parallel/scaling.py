@@ -83,22 +83,38 @@ def _axis_comm(mx, my, k, bx, by, chips_per_host):
     return out[0], out[1]
 
 
-def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap):
+# Per-round fixed overhead (launch + state HBM round-trip), calibrated r5
+# from the 1x1 halo sweep on v5e: device walls 1.409/1.239/1.127 ms at
+# halo 8/16/32 fit t_round = cells*k/rate + C with rate ~= 58-62 G (the
+# fused kernel's own rate — as it must be) and C = 2.4 us to within the
+# fit's noise on all three points (BASELINE.md "round-structure fit").
+ROUND_OVERHEAD_S = 2.4e-6
+
+
+def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap,
+             c_round=ROUND_OVERHEAD_S):
     """One round's modeled wall for a (bx, by)-cell shard on an (mx, my)
     mesh. Returns (t_comp, t_comm, extras) or (None, None, None) when the
     configuration is invalid.
+
+    Compute is the r5 TWO-parameter calibration: window cells advance at
+    the kernel's asymptotic ``rate`` plus a fixed ``c_round`` per kernel
+    launch (launch + state round-trip) — a single k-dependent rate made
+    small halos look spuriously cheap; the hardware halo sweep pins both
+    parameters (see ROUND_OVERHEAD_S).
 
     Plain rounds (r5 per-axis ghosts, matching solver_pallas): the kernel
     advances the (bx + 2k·[mx>1]) x (by + 2k·[my>1]) extended block, then
     waits out the whole exchange — t = t_comp + t_comm.
 
-    Overlap rounds (1D x-meshes only, solver_pallas._overlap_impl): two
-    3k-row frame windows advance first, the frame ppermute then runs
-    CONCURRENTLY with the bx-row interior window —
-    t = t_frame + max(t_comm, t_interior). Communication vanishes from
-    the round whenever it is shorter than the interior advance; the price
-    is the frame split's extra doomed-fringe compute (6k rows/round vs
-    the plain 1D rounds' 2k ghost rows)."""
+    Overlap rounds (1D x-meshes only, solver_pallas._overlap_impl /
+    _overlap_banded_impl): two 3k-row frame windows advance first (one
+    launch), the frame ppermute then runs CONCURRENTLY with the bx-row
+    interior launch — t = t_frame + max(t_comm, t_interior). Communication
+    vanishes from the round whenever it is shorter than the interior
+    advance; the price is the frame split's extra doomed-fringe compute
+    (6k rows/round vs the plain 1D rounds' 2k ghost rows) plus one extra
+    launch overhead."""
     if k > bx or k > by:
         return None, None, None
     tx, ty = _axis_comm(mx, my, k, bx, by, chips_per_host)
@@ -108,15 +124,15 @@ def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap):
         kx = k if mx > 1 else 0
         ky = k if my > 1 else 0
         ext = (bx + 2 * kx) * (by + 2 * ky)
-        return ext * k / rate, tx + ty, {}
+        return ext * k / rate + c_round, tx + ty, {}
     if my != 1 or bx < 3 * k:
         # overlap is implemented for 1D ("x", N) meshes only (fused AND
         # banded round kernels — _overlap_impl / _overlap_banded_impl);
         # the model mirrors the implementation (solver_pallas raises on
         # other mesh shapes)
         return None, None, None
-    t_frame = 2 * (3 * k * by) * k / rate
-    t_int = bx * by * k / rate
+    t_frame = 2 * (3 * k * by) * k / rate + c_round
+    t_int = bx * by * k / rate + c_round
     t_comp = t_frame + max(tx, t_int)
     return t_comp, 0.0, {
         "t_frame_round_us": round(t_frame * 1e6, 1),
@@ -129,18 +145,19 @@ def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap):
 def projected_efficiency(grid_x: int, grid_y: int, device_counts,
                          rate_ext_cups: float, halos=(8, 16, 32),
                          chips_per_host: int = 8,
-                         overlap: bool = False) -> list[dict]:
+                         overlap: bool = False,
+                         round_overhead_s: float = ROUND_OVERHEAD_S
+                         ) -> list[dict]:
     """Model halo-exchange strong-scaling efficiency for an N-chip mesh.
 
-    ``rate_ext_cups``: measured cell updates/s of the sharded round
-    kernel on ONE chip — ``cells * T_pad / wall`` from the
-    ``sharded_pallas_1x1`` bench row, where ``cells`` counts the cells
-    the round kernel actually updates (since r5's per-axis ghosts a 1x1
-    mesh carries none, so the row measures block cells plus the pure
-    round machinery — launch and state round-trip — which the rate
-    therefore absorbs). The model charges each candidate mesh its own
-    per-axis ghost compute at that rate, making small-shard ghost
-    overhead — the dominant high-N cost — explicit.
+    ``rate_ext_cups``: the round kernel's ASYMPTOTIC cell rate (r5
+    two-parameter calibration — the ``bench.py round_structure`` halo
+    sweep fits ``t_round = cells*k/rate + round_overhead_s`` on one chip;
+    58.0 G + 2.4 us on v5e, matching the fused kernel's own rate as the
+    overhead-free limit must). The model charges each candidate mesh its
+    per-axis ghost compute at that rate plus the fixed per-launch
+    overhead, making BOTH dominant high-N costs — small-shard ghost
+    compute and per-round machinery — explicit.
 
     Per device count the model searches mesh factorizations and halo
     periods and reports the best:
@@ -163,11 +180,13 @@ def projected_efficiency(grid_x: int, grid_y: int, device_counts,
                 bx = -(-grid_x // mx)
                 by = -(-grid_y // my)
                 tc, tx, extras = _t_round(mx, my, k, bx, by, rate_ext_cups,
-                                          chips_per_host, overlap)
+                                          chips_per_host, overlap,
+                                          round_overhead_s)
                 if tc is None:
                     continue
                 t1c, _, _ = _t_round(1, 1, k, grid_x, grid_y,
-                                     rate_ext_cups, chips_per_host, overlap)
+                                     rate_ext_cups, chips_per_host, overlap,
+                                     round_overhead_s)
                 eff = t1c / (n * (tc + tx))
                 if best is None or eff > best["efficiency"]:
                     best = {
@@ -186,7 +205,9 @@ def projected_efficiency(grid_x: int, grid_y: int, device_counts,
 def projected_weak_efficiency(block_x: int, block_y: int, device_counts,
                               rate_ext_cups: float, halos=(8, 16, 32),
                               chips_per_host: int = 8,
-                              overlap: bool = False) -> list[dict]:
+                              overlap: bool = False,
+                              round_overhead_s: float = ROUND_OVERHEAD_S
+                              ) -> list[dict]:
     """Weak-scaling companion of :func:`projected_efficiency`: the
     PER-CHIP block stays fixed at (block_x, block_y) cells — the world
     grows with the machine, which BASELINE.md names as the actual
@@ -208,11 +229,12 @@ def projected_weak_efficiency(block_x: int, block_y: int, device_counts,
             for k in halos:
                 tc, tx, extras = _t_round(mx, my, k, block_x, block_y,
                                           rate_ext_cups, chips_per_host,
-                                          overlap)
+                                          overlap, round_overhead_s)
                 if tc is None:
                     continue
                 t1c, _, _ = _t_round(1, 1, k, block_x, block_y,
-                                     rate_ext_cups, chips_per_host, overlap)
+                                     rate_ext_cups, chips_per_host, overlap,
+                                     round_overhead_s)
                 eff = t1c / (tc + tx)
                 if best is None or eff > best["efficiency"]:
                     best = {

@@ -439,7 +439,8 @@ def cmd_scale(args) -> int:
 
         fn = projected_weak_efficiency if args.weak else projected_efficiency
         rows = fn(params.nx, params.ny, [1, 4, 8, 16, 32, 64],
-                  rate_ext_cups=args.rate_ext * 1e9, overlap=args.overlap)
+                  rate_ext_cups=args.rate_ext * 1e9, overlap=args.overlap,
+                  round_overhead_s=args.round_overhead_us * 1e-6)
         for row in rows:
             print(json.dumps(row))
         return 0
@@ -607,11 +608,15 @@ def main(argv=None) -> int:
                    help="print the projected pod-scale efficiency table "
                         "from the one-chip model instead of measuring "
                         "(BASELINE.md 'Projected scaling')")
-    p.add_argument("--rate-ext", type=float, default=34.97, dest="rate_ext",
-                   help="measured round-kernel cell rate in G cells/s for "
-                        "--project (default: the r05 sharded_pallas_1x1 "
-                        "device-scan calibration row, rate_round_gcups; "
-                        "see BASELINE.md)")
+    p.add_argument("--rate-ext", type=float, default=58.0, dest="rate_ext",
+                   help="round kernel's ASYMPTOTIC cell rate in G cells/s "
+                        "for --project (default: the r05 two-parameter "
+                        "halo-sweep fit, bench round_structure row; see "
+                        "BASELINE.md)")
+    p.add_argument("--round-overhead-us", type=float, default=2.4,
+                   dest="round_overhead_us",
+                   help="fixed per-round launch+state overhead in us for "
+                        "--project (the fit's second parameter)")
     p.add_argument("--weak", action="store_true",
                    help="weak scaling: hold the per-chip block at this "
                         "grid and grow the world with the device count "

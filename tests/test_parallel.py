@@ -689,16 +689,18 @@ def test_projected_efficiency_model():
     from planeverb_tpu.parallel.scaling import (projected_efficiency,
                                                 projected_weak_efficiency)
 
-    # r05 sharded_pallas_1x1 calibration: 200x256 block, 1200 padded
-    # steps, 1.265 ms device scan slope => 34.97 G cells/s
-    rate = 200 * 256 * 1200 / 1.265e-3
+    # r05 two-parameter calibration (bench round_structure fit): the
+    # round kernel's asymptotic rate; the fixed 2.4 us/round overhead is
+    # the model default (scaling.ROUND_OVERHEAD_S)
+    rate = 58.0e9
     rows = projected_efficiency(1920, 1920, [1, 8, 16, 64], rate)
     by_n = {r["devices"]: r for r in rows}
     assert by_n[1]["efficiency"] == 1.0
     assert by_n[16]["hosts"] == 2
-    # strong-scaling a FIXED 100x grid is ghost-compute-bound past 2
-    # hosts (BASELINE r5 revoked r4's 84.5% strong headline honestly)
-    assert 0.70 <= by_n[16]["efficiency"] < 0.80
+    # strong-scaling a FIXED 100x grid is ghost-compute + round-overhead
+    # bound past 2 hosts (BASELINE r5 revoked r4's 84.5% strong headline
+    # honestly; the two-parameter fit puts 2 hosts at ~0.69)
+    assert 0.60 <= by_n[16]["efficiency"] < 0.80
     # single-host rows pay no DCN latency: comm stays in single-digit us
     assert by_n[8]["t_comm_round_us"] < 10.0
     # efficiency decays with N
@@ -710,12 +712,12 @@ def test_projected_efficiency_model():
     # the north-star >= 80% at >= 2 hosts on the 100x workload: the WEAK
     # layout (480x512-cell shards on 16 chips ~= 100x the headline's
     # cells) with the overlap split — comm fully hidden, flat through 8
-    # hosts (BASELINE.md weak table)
+    # hosts (BASELINE.md weak table; 0.862 under the two-parameter fit)
     weak = projected_weak_efficiency(480, 512, [16, 32, 64], rate,
                                      overlap=True)
     for r in weak:
         assert r["hosts"] >= 2
-        assert r["efficiency"] >= 0.90, r
+        assert r["efficiency"] >= 0.85, r
         assert r["comm_hidden"] and r["t_comm_round_us"] == 0.0
     assert weak[0]["global_grid"] == [16 * 480, 512]
     assert 16 * 480 * 512 >= 100 * 192 * 192
@@ -728,7 +730,7 @@ def test_projected_efficiency_overlap_model():
     carries the split's derivation fields."""
     from planeverb_tpu.parallel.scaling import projected_efficiency
 
-    rate = 232 * 288 * 1187 / 4.48e-3
+    rate = 58.0e9            # r05 two-parameter calibration
     rows = projected_efficiency(1920, 1920, [8, 16], rate, overlap=True)
     for r in rows:
         assert r["mesh"][1] == 1, r              # 1D x-meshes only
@@ -747,7 +749,7 @@ def test_projected_weak_efficiency_model():
     production-size blocks."""
     from planeverb_tpu.parallel.scaling import projected_weak_efficiency
 
-    rate = 232 * 288 * 1187 / 4.48e-3
+    rate = 58.0e9            # r05 two-parameter calibration
     rows = projected_weak_efficiency(1020, 1020, [1, 16, 32, 64], rate,
                                      overlap=True)
     by_n = {r["devices"]: r for r in rows}
