@@ -135,9 +135,18 @@ def main() -> None:
 
     extras: dict = {}
 
-    # --- the README resolution table as a measured artifact
+    # --- the README resolution table as a measured artifact. r5: rows are
+    # in-program scan slopes (pure device time) — the r4 chained rows for
+    # the small grids sat at the tunnel-jitter floor (spreads 0.2-7 ms on
+    # sub-ms pipelines), which is noise, not measurement (VERDICT r5
+    # item 7). The dispatch-inclusive story lives in the headline
+    # pipeline_wall_s row.
     def _resolution_table():
         rows = {}
+        # chain lengths scale inversely with grid size: a 71^2 pipeline's
+        # ~0.1 ms device pass needs ~400 passes between the paired chains
+        # before the delta clears the tunnel's per-fetch jitter
+        n_longs = {275: 402, 375: 202, 500: 102, 750: 42}
         for res in (275, 375, 500, 750):
             c = PlaneverbConfig(grid_size_x=25.0, grid_size_y=25.0,
                                 grid_resolution=res)
@@ -147,20 +156,17 @@ def main() -> None:
             ix, iy = p.world_to_cell(12.5, 12.5)
             b, r = jnp.asarray(b), jnp.asarray(r)
 
-            @jax.jit
-            def one(eps, p=p, b=b, r=r, pu=pu, ix=ix, iy=iy):
-                _, out = pipeline_auto(p, b, r, pu * (1.0 + eps), ix, iy,
+            def one(carry, p=p, b=b, r=r, pu=pu, ix=ix, iy=iy):
+                _, out = pipeline_auto(p, b, r, pu * (1.0 + carry), ix, iy,
                                        jnp.float32(1.0), jnp.float32(12.5),
                                        jnp.float32(12.5))
                 return out.occlusion[5, 5] + out.direction[5, 5, 0]
 
-            float(np.asarray(one(0.0)))
-            s = time_chained_stats(one, reps=3)
-            t = s["median_s"]
+            t, spread = _scan_slope(one, n_long=n_longs[res], reps=7)
             rows[str(res)] = {
                 "grid": [p.nx, p.ny], "steps": p.response_length,
-                "pipeline_ms": round(t * 1e3, 2),
-                "pipeline_ms_spread": spread_ms(s),
+                "pipeline_device_ms": round(t * 1e3, 3),
+                "pipeline_device_ms_spread": spread,
                 "gcups": round(p.nx * p.ny * p.response_length / t / 1e9, 2),
             }
         return rows
