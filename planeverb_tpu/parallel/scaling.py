@@ -84,11 +84,15 @@ def _axis_comm(mx, my, k, bx, by, chips_per_host):
 
 
 # Per-round fixed overhead (launch + state HBM round-trip), calibrated r5
-# from the 1x1 halo sweep on v5e: device walls 1.409/1.239/1.127 ms at
-# halo 8/16/32 fit t_round = cells*k/rate + C with rate ~= 58-62 G (the
-# fused kernel's own rate — as it must be) and C = 2.4 us to within the
-# fit's noise on all three points (BASELINE.md "round-structure fit").
+# from 1x1 halo sweeps on v5e: device walls across halo 8/16/32 fit
+# t_round = cells*k/rate + C with rate ~= 40-44 G cells/s (cells counted
+# the way the model counts them — unpadded; the kernel lane-pads 192->256
+# internally, which the calibration absorbs) and C ~= 2-3 us across three
+# independent sweeps (manual refit 43.9 G/2.89 us; bench lstsq fits
+# 40.1 G/1.89 us and 43.1 G/2.91 us — BASELINE.md "round-structure fit").
+# Defaults take the consensus midpoint.
 ROUND_OVERHEAD_S = 2.4e-6
+ROUND_RATE_CUPS = 42.0e9
 
 
 def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap,
@@ -153,8 +157,9 @@ def projected_efficiency(grid_x: int, grid_y: int, device_counts,
     ``rate_ext_cups``: the round kernel's ASYMPTOTIC cell rate (r5
     two-parameter calibration — the ``bench.py round_structure`` halo
     sweep fits ``t_round = cells*k/rate + round_overhead_s`` on one chip;
-    58.0 G + 2.4 us on v5e, matching the fused kernel's own rate as the
-    overhead-free limit must). The model charges each candidate mesh its
+    ~42 G + 2.4 us consensus across three v5e sweeps, cells counted
+    unpadded as the model counts them). The model charges each candidate
+    mesh its
     per-axis ghost compute at that rate plus the fixed per-launch
     overhead, making BOTH dominant high-N costs — small-shard ghost
     compute and per-round machinery — explicit.

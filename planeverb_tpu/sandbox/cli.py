@@ -608,11 +608,11 @@ def main(argv=None) -> int:
                    help="print the projected pod-scale efficiency table "
                         "from the one-chip model instead of measuring "
                         "(BASELINE.md 'Projected scaling')")
-    p.add_argument("--rate-ext", type=float, default=58.0, dest="rate_ext",
+    p.add_argument("--rate-ext", type=float, default=42.0, dest="rate_ext",
                    help="round kernel's ASYMPTOTIC cell rate in G cells/s "
                         "for --project (default: the r05 two-parameter "
-                        "halo-sweep fit, bench round_structure row; see "
-                        "BASELINE.md)")
+                        "halo-sweep consensus fit, bench round_structure "
+                        "row; see BASELINE.md)")
     p.add_argument("--round-overhead-us", type=float, default=2.4,
                    dest="round_overhead_us",
                    help="fixed per-round launch+state overhead in us for "

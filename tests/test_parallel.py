@@ -689,17 +689,18 @@ def test_projected_efficiency_model():
     from planeverb_tpu.parallel.scaling import (projected_efficiency,
                                                 projected_weak_efficiency)
 
-    # r05 two-parameter calibration (bench round_structure fit): the
-    # round kernel's asymptotic rate; the fixed 2.4 us/round overhead is
-    # the model default (scaling.ROUND_OVERHEAD_S)
-    rate = 58.0e9
+    # r05 two-parameter calibration (bench round_structure fits, cells
+    # counted unpadded as the model counts them): the round kernel's
+    # asymptotic rate; the fixed 2.4 us/round overhead is the model
+    # default (scaling.ROUND_OVERHEAD_S)
+    rate = 42.0e9
     rows = projected_efficiency(1920, 1920, [1, 8, 16, 64], rate)
     by_n = {r["devices"]: r for r in rows}
     assert by_n[1]["efficiency"] == 1.0
     assert by_n[16]["hosts"] == 2
     # strong-scaling a FIXED 100x grid is ghost-compute + round-overhead
     # bound past 2 hosts (BASELINE r5 revoked r4's 84.5% strong headline
-    # honestly; the two-parameter fit puts 2 hosts at ~0.69)
+    # honestly; the two-parameter fit puts 2 hosts at ~0.73)
     assert 0.60 <= by_n[16]["efficiency"] < 0.80
     # single-host rows pay no DCN latency: comm stays in single-digit us
     assert by_n[8]["t_comm_round_us"] < 10.0
@@ -730,7 +731,7 @@ def test_projected_efficiency_overlap_model():
     carries the split's derivation fields."""
     from planeverb_tpu.parallel.scaling import projected_efficiency
 
-    rate = 58.0e9            # r05 two-parameter calibration
+    rate = 42.0e9            # r05 two-parameter calibration
     rows = projected_efficiency(1920, 1920, [8, 16], rate, overlap=True)
     for r in rows:
         assert r["mesh"][1] == 1, r              # 1D x-meshes only
@@ -749,7 +750,7 @@ def test_projected_weak_efficiency_model():
     production-size blocks."""
     from planeverb_tpu.parallel.scaling import projected_weak_efficiency
 
-    rate = 58.0e9            # r05 two-parameter calibration
+    rate = 42.0e9            # r05 two-parameter calibration
     rows = projected_weak_efficiency(1020, 1020, [1, 16, 32, 64], rate,
                                      overlap=True)
     by_n = {r["devices"]: r for r in rows}
