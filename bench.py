@@ -544,8 +544,12 @@ def main() -> None:
                                    compute_directions=False)
             return out.occlusion[5, 5]
 
-        t1, sp1 = _scan_slope(with_doa)
-        t0, sp0 = _scan_slope(without_doa)
+        # doa_ms is a DIFFERENCE of two ~0.85 ms slopes: at the default
+        # 40-pass delta its noise (~±0.05 ms/slope) exceeds the ~0.05 ms
+        # signal (r5 runs read 0.013/0.096/0.112). 100-pass chains push
+        # the per-slope noise to ~±2%, resolving the difference.
+        t1, sp1 = _scan_slope(with_doa, n_long=102, reps=9)
+        t0, sp0 = _scan_slope(without_doa, n_long=102, reps=9)
         return {
             "pipeline_with_doa_ms": round(t1 * 1e3, 3),
             "pipeline_with_doa_ms_spread": sp1,
