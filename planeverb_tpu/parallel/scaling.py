@@ -85,11 +85,11 @@ def _axis_comm(mx, my, k, bx, by, chips_per_host):
 
 # Per-round fixed overhead (launch + state HBM round-trip), calibrated r5
 # from 1x1 halo sweeps on v5e: device walls across halo 8/16/32 fit
-# t_round = cells*k/rate + C with rate ~= 40-44 G cells/s (cells counted
+# t_round = cells*k/rate + C with rate ~= 39-44 G cells/s (cells counted
 # the way the model counts them — unpadded; the kernel lane-pads 192->256
 # internally, which the calibration absorbs) and C ~= 2-3 us across three
 # independent sweeps (manual refit 43.9 G/2.89 us; bench lstsq fits
-# 40.1 G/1.89 us and 43.1 G/2.91 us — BASELINE.md "round-structure fit").
+# 39.1-43.1 G / 1.7-2.9 us — BASELINE.md "round-structure fit").
 # Defaults take the consensus midpoint.
 ROUND_OVERHEAD_S = 2.4e-6
 ROUND_RATE_CUPS = 42.0e9
