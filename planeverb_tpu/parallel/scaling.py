@@ -259,7 +259,7 @@ def projected_weak_efficiency(block_x: int, block_y: int, device_counts,
 def measure_scaling(params, beta, refl, pulse, lix, liy,
                     device_counts=None, halo: int = 8, reps: int = 3,
                     chain: int = 5, solver: str = "wide",
-                    mode: str = "strong"):
+                    mode: str = "strong", overlap: bool = False):
     """Scaling sweep of the sharded solver over sub-meshes.
 
     ``mode="strong"`` (default): the GLOBAL grid is fixed and shards
@@ -274,7 +274,11 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
     ``solver`` picks the backend: "wide" = lax.scan with k-step halo
     widening (parallel/solver.py), "pallas" = fused-kernel rounds between
     halo exchanges (parallel/solver_pallas.py — the TPU-rate path;
-    interpret mode engages automatically off-TPU).
+    interpret mode engages automatically off-TPU). ``overlap=True``
+    (pallas backend) runs the r5 boundary-first round split on 1D
+    ("x", N) meshes — the sweep then uses (n, 1) factorizations and
+    clamps the halo so shards satisfy the split's bx >= 3*halo
+    precondition.
 
     Timing uses the chained-dependent-runs pattern (utils.profiling.
     time_chained): each pass perturbs the pulse with the previous pass's
@@ -300,6 +304,9 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
         raise ValueError(f"unknown solver {solver!r}")
     if mode not in ("strong", "weak"):
         raise ValueError(f"unknown mode {mode!r}")
+    if overlap and solver != "pallas":
+        raise ValueError("overlap=True needs solver='pallas' (the round "
+                         "split lives in solver_pallas)")
 
     all_devices = jax.devices()
     if device_counts is None:
@@ -312,7 +319,8 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
     rows = []
     t1 = None
     for n in device_counts:
-        mesh = grid_mesh(all_devices[:n], factor_mesh(n))
+        mesh = grid_mesh(all_devices[:n],
+                         (n, 1) if overlap else factor_mesh(n))
         if mode == "weak":
             # grow the world with the mesh: per-chip block ~= the base grid
             mx_, my_ = mesh.shape["x"], mesh.shape["y"]
@@ -335,6 +343,9 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
             :p_n.nx, :p_n.ny].set(jnp.asarray(r_n))
         pu = jnp.asarray(pulse)
         k = min(halo, nx_pad // mesh.shape["x"], ny_pad // mesh.shape["y"])
+        if overlap and mesh.shape["x"] > 1:
+            # the split needs bx >= 3*halo (frame + fringe + frame)
+            k = max(1, min(k, (nx_pad // mesh.shape["x"]) // 3))
         qx, qy = p_n.nx // 2, p_n.ny // 2
         updates = p_n.nx * p_n.ny * p_n.response_length
 
@@ -347,7 +358,7 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
                 res = simulate_sharded_pallas(
                     p_n, bp, rp, pu * (1.0 + eps), jnp.int32(cix),
                     jnp.int32(ciy), mesh, nx_pad, ny_pad, halo=k,
-                    interpret=interp)
+                    interpret=interp, overlap=overlap)
                 return res.pressure[p_n.response_length - 1, qx, qy]
         else:
             def one_pass(eps, p_n=p_n, mesh=mesh, bp=bp, rp=rp, pu=pu, k=k,
@@ -368,6 +379,7 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
             "devices": n,
             "solver": solver,
             "mode": mode,
+            "overlap": overlap,
             "mesh": [mesh.shape["x"], mesh.shape["y"]],
             "grid": [p_n.nx, p_n.ny],
             "halo": k,

@@ -450,7 +450,8 @@ def cmd_scale(args) -> int:
     rows = measure_scaling(params, beta, refl, gaussian_pulse(params),
                            lix, liy, halo=args.halo, reps=args.reps,
                            chain=args.chain, solver=args.solver,
-                           mode="weak" if args.weak else "strong")
+                           mode="weak" if args.weak else "strong",
+                           overlap=args.overlap)
     for row in rows:
         print(json.dumps(row))
     return 0
@@ -622,9 +623,10 @@ def main(argv=None) -> int:
                         "grid and grow the world with the device count "
                         "(measured sweep and --project both honor it)")
     p.add_argument("--overlap", action="store_true",
-                   help="with --project: model the r5 overlap round split "
-                        "(1D meshes, exchange hidden under the interior "
-                        "kernel)")
+                   help="use the r5 overlap round split (1D meshes, "
+                        "exchange hidden under the interior kernel): "
+                        "models it with --project, runs it in the "
+                        "measured sweep otherwise (needs --solver pallas)")
     p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("scenes", help="list built-in demo scenes")

@@ -677,6 +677,15 @@ def test_scaling_harness_pallas_backend():
     with pytest.raises(ValueError, match="solver"):
         measure_scaling(p, beta, refl, pulse, lix, liy, device_counts=[1],
                         solver="nope")
+    # overlap sweep: 1D (n, 1) factorizations, halo clamped to bx >= 3k
+    orows = measure_scaling(p, beta, refl, pulse, lix, liy,
+                            device_counts=[2], halo=4, reps=1, chain=2,
+                            solver="pallas", overlap=True)
+    assert orows[0]["overlap"] and orows[0]["mesh"] == [2, 1]
+    assert orows[0]["halo"] * 3 <= 24  # bx for the (2,1) mesh
+    with pytest.raises(ValueError, match="pallas"):
+        measure_scaling(p, beta, refl, pulse, lix, liy, device_counts=[1],
+                        solver="wide", overlap=True)
 
 
 def test_projected_efficiency_model():
