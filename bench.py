@@ -672,7 +672,11 @@ def main() -> None:
             rounds_k = -(-T // kk)
             halo_rows[str(kk)] = {"device_scan_ms": round(tk * 1e3, 3),
                                   "device_scan_ms_spread": spk}
-            pts.append((nx_pad * ny_pad * kk, tk / rounds_k))
+            # cells counted with the kernel's LANE PADDING (y rounds up
+            # to 128), matching parallel/scaling.py::_lanes — unpadded
+            # counting under-fits the rate ~33% on 192-lane blocks
+            lanes = -(-ny_pad // 128) * 128
+            pts.append((nx_pad * lanes * kk, tk / rounds_k))
         A = np.array([[c, 1.0] for c, _ in pts])
         y = np.array([w for _, w in pts])
         (inv_rate, c_round), *_ = np.linalg.lstsq(A, y, rcond=None)

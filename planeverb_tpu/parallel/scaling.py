@@ -83,16 +83,23 @@ def _axis_comm(mx, my, k, bx, by, chips_per_host):
     return out[0], out[1]
 
 
-# Per-round fixed overhead (launch + state HBM round-trip), calibrated r5
-# from 1x1 halo sweeps on v5e: device walls across halo 8/16/32 fit
-# t_round = cells*k/rate + C with rate ~= 39-44 G cells/s (cells counted
-# the way the model counts them — unpadded; the kernel lane-pads 192->256
-# internally, which the calibration absorbs) and C ~= 2-3 us across three
-# independent sweeps (manual refit 43.9 G/2.89 us; bench lstsq fits
-# 39.1-43.1 G / 1.7-2.9 us — BASELINE.md "round-structure fit").
-# Defaults take the consensus midpoint.
+# Round-structure calibration (r5, v5e): device walls of 1x1 halo sweeps
+# fit t_round = lane_padded_cells*k/rate + C. Cells are counted with the
+# kernel's LANE PADDING (the window's y extent rounds up to 128 — a
+# 192-lane block computes 256 lanes), which the model reproduces per
+# candidate shard shape so lane-aligned blocks aren't overcharged; on
+# padded cells the sweeps fit rate ~= 52-59 G cells/s and C ~= 1.7-2.9 us
+# (manual refit 58.5 G/2.89 us; bench lstsq fits land in-band —
+# BASELINE.md "round-structure fit"). Defaults take the consensus
+# midpoint; CLI/tests reference these constants so a recalibration
+# updates one site.
 ROUND_OVERHEAD_S = 2.4e-6
-ROUND_RATE_CUPS = 42.0e9
+ROUND_RATE_CUPS = 56.0e9
+
+
+def _lanes(n):
+    """y extents round up to the TPU lane width inside the kernels."""
+    return -(-n // 128) * 128
 
 
 def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap,
@@ -101,11 +108,13 @@ def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap,
     mesh. Returns (t_comp, t_comm, extras) or (None, None, None) when the
     configuration is invalid.
 
-    Compute is the r5 TWO-parameter calibration: window cells advance at
-    the kernel's asymptotic ``rate`` plus a fixed ``c_round`` per kernel
-    launch (launch + state round-trip) — a single k-dependent rate made
-    small halos look spuriously cheap; the hardware halo sweep pins both
-    parameters (see ROUND_OVERHEAD_S).
+    Compute is the r5 TWO-parameter calibration: window cells — with the
+    kernel's lane padding (:func:`_lanes`) — advance at the asymptotic
+    ``rate`` plus a fixed ``c_round`` per kernel launch (launch + state
+    round-trip). A single k-dependent rate made small halos look
+    spuriously cheap, and unpadded cell counting overcharged lane-aligned
+    shards ~33 %; the hardware halo sweeps pin both parameters (see
+    ROUND_OVERHEAD_S / ROUND_RATE_CUPS).
 
     Plain rounds (r5 per-axis ghosts, matching solver_pallas): the kernel
     advances the (bx + 2k·[mx>1]) x (by + 2k·[my>1]) extended block, then
@@ -127,7 +136,7 @@ def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap,
         # a single shard — nothing to exchange)
         kx = k if mx > 1 else 0
         ky = k if my > 1 else 0
-        ext = (bx + 2 * kx) * (by + 2 * ky)
+        ext = (bx + 2 * kx) * _lanes(by + 2 * ky)
         return ext * k / rate + c_round, tx + ty, {}
     if my != 1 or bx < 3 * k:
         # overlap is implemented for 1D ("x", N) meshes only (fused AND
@@ -135,8 +144,8 @@ def _t_round(mx, my, k, bx, by, rate, chips_per_host, overlap,
         # the model mirrors the implementation (solver_pallas raises on
         # other mesh shapes)
         return None, None, None
-    t_frame = 2 * (3 * k * by) * k / rate + c_round
-    t_int = bx * by * k / rate + c_round
+    t_frame = 2 * (3 * k * _lanes(by)) * k / rate + c_round
+    t_int = bx * _lanes(by) * k / rate + c_round
     t_comp = t_frame + max(tx, t_int)
     return t_comp, 0.0, {
         "t_frame_round_us": round(t_frame * 1e6, 1),
@@ -346,6 +355,11 @@ def measure_scaling(params, beta, refl, pulse, lix, liy,
         if overlap and mesh.shape["x"] > 1:
             # the split needs bx >= 3*halo (frame + fringe + frame)
             k = max(1, min(k, (nx_pad // mesh.shape["x"]) // 3))
+        if solver == "pallas" and k > 16:
+            # the round kernel's recording chunk is min(k, 16) and must
+            # divide k — a clamped k like 23 would abort the sweep deep
+            # in the solver; floor to a chunk-compatible multiple
+            k = (k // 16) * 16
         qx, qy = p_n.nx // 2, p_n.ny // 2
         updates = p_n.nx * p_n.ny * p_n.response_length
 

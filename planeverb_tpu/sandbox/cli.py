@@ -26,6 +26,7 @@ import numpy as np
 
 from planeverb_tpu.config import PlaneverbConfig, PlaneverbDSPConfig, Resolution
 from planeverb_tpu.core.context import Context
+from planeverb_tpu.parallel.scaling import ROUND_OVERHEAD_S, ROUND_RATE_CUPS
 from planeverb_tpu.scene import DEMO_SCENES, Scene, demo_scene, load_pv
 from planeverb_tpu.types import PlaneverbOutput
 
@@ -444,6 +445,12 @@ def cmd_scale(args) -> int:
         for row in rows:
             print(json.dumps(row))
         return 0
+    if args.overlap and args.solver != "pallas":
+        # fail like the other subcommands do — a clean message, not a
+        # traceback from deep inside the harness
+        print("error: --overlap needs --solver pallas (the round split "
+              "lives in the Pallas backend)", file=sys.stderr)
+        return 2
     scene = _load_scene(args.scene)
     beta, refl = voxelize.voxelize_np(params, scene.boxes if scene else [])
     lix, liy = params.world_to_cell(*_xy(args.listener))
@@ -609,15 +616,19 @@ def main(argv=None) -> int:
                    help="print the projected pod-scale efficiency table "
                         "from the one-chip model instead of measuring "
                         "(BASELINE.md 'Projected scaling')")
-    p.add_argument("--rate-ext", type=float, default=42.0, dest="rate_ext",
-                   help="round kernel's ASYMPTOTIC cell rate in G cells/s "
-                        "for --project (default: the r05 two-parameter "
-                        "halo-sweep consensus fit, bench round_structure "
-                        "row; see BASELINE.md)")
-    p.add_argument("--round-overhead-us", type=float, default=2.4,
+    p.add_argument("--rate-ext", type=float,
+                   default=ROUND_RATE_CUPS / 1e9, dest="rate_ext",
+                   help="round kernel's ASYMPTOTIC lane-padded-cell rate "
+                        "in G cells/s for --project (default: "
+                        "scaling.ROUND_RATE_CUPS, the r05 halo-sweep "
+                        "consensus fit — bench round_structure row; see "
+                        "BASELINE.md)")
+    p.add_argument("--round-overhead-us", type=float,
+                   default=ROUND_OVERHEAD_S * 1e6,
                    dest="round_overhead_us",
                    help="fixed per-round launch+state overhead in us for "
-                        "--project (the fit's second parameter)")
+                        "--project (the fit's second parameter; default: "
+                        "scaling.ROUND_OVERHEAD_S)")
     p.add_argument("--weak", action="store_true",
                    help="weak scaling: hold the per-chip block at this "
                         "grid and grow the world with the device count "

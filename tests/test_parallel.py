@@ -695,21 +695,22 @@ def test_projected_efficiency_model():
     scaling, DCN charged on host-crossing axes only — and the north-star
     >= 80% at >= 2 hosts on the 100x workload achieved by the WEAK layout
     with overlap (BASELINE.md 'Projected scaling', recalibrated r5)."""
-    from planeverb_tpu.parallel.scaling import (projected_efficiency,
+    from planeverb_tpu.parallel.scaling import (ROUND_RATE_CUPS,
+                                                projected_efficiency,
                                                 projected_weak_efficiency)
 
     # r05 two-parameter calibration (bench round_structure fits, cells
-    # counted unpadded as the model counts them): the round kernel's
-    # asymptotic rate; the fixed 2.4 us/round overhead is the model
-    # default (scaling.ROUND_OVERHEAD_S)
-    rate = 42.0e9
+    # counted with the kernel's lane padding as the model counts them):
+    # the round kernel's asymptotic rate; the fixed 2.4 us/round overhead
+    # is the model default (scaling.ROUND_OVERHEAD_S)
+    rate = ROUND_RATE_CUPS
     rows = projected_efficiency(1920, 1920, [1, 8, 16, 64], rate)
     by_n = {r["devices"]: r for r in rows}
     assert by_n[1]["efficiency"] == 1.0
     assert by_n[16]["hosts"] == 2
     # strong-scaling a FIXED 100x grid is ghost-compute + round-overhead
     # bound past 2 hosts (BASELINE r5 revoked r4's 84.5% strong headline
-    # honestly; the two-parameter fit puts 2 hosts at ~0.73)
+    # honestly; the two-parameter fit puts 2 hosts at ~0.69)
     assert 0.60 <= by_n[16]["efficiency"] < 0.80
     # single-host rows pay no DCN latency: comm stays in single-digit us
     assert by_n[8]["t_comm_round_us"] < 10.0
@@ -722,7 +723,8 @@ def test_projected_efficiency_model():
     # the north-star >= 80% at >= 2 hosts on the 100x workload: the WEAK
     # layout (480x512-cell shards on 16 chips ~= 100x the headline's
     # cells) with the overlap split — comm fully hidden, flat through 8
-    # hosts (BASELINE.md weak table; 0.862 under the two-parameter fit)
+    # hosts (BASELINE.md weak table; 0.864 under the two-parameter fit —
+    # plain rounds read 0.796 at this block, so overlap clears the bar)
     weak = projected_weak_efficiency(480, 512, [16, 32, 64], rate,
                                      overlap=True)
     for r in weak:
@@ -738,9 +740,10 @@ def test_projected_efficiency_overlap_model():
     (plus the trivial 1x1) are searched, the exchange disappears from the
     round whenever it is shorter than the interior kernel, and the row
     carries the split's derivation fields."""
-    from planeverb_tpu.parallel.scaling import projected_efficiency
+    from planeverb_tpu.parallel.scaling import (ROUND_RATE_CUPS,
+                                                projected_efficiency)
 
-    rate = 42.0e9            # r05 two-parameter calibration
+    rate = ROUND_RATE_CUPS   # r05 two-parameter calibration
     rows = projected_efficiency(1920, 1920, [8, 16], rate, overlap=True)
     for r in rows:
         assert r["mesh"][1] == 1, r              # 1D x-meshes only
@@ -757,9 +760,10 @@ def test_projected_weak_efficiency_model():
     stabilizes — the regime BASELINE.md names as the actual deployment
     shape. With overlap, multi-host rows hide their exchange entirely for
     production-size blocks."""
-    from planeverb_tpu.parallel.scaling import projected_weak_efficiency
+    from planeverb_tpu.parallel.scaling import (ROUND_RATE_CUPS,
+                                                projected_weak_efficiency)
 
-    rate = 42.0e9            # r05 two-parameter calibration
+    rate = ROUND_RATE_CUPS   # r05 two-parameter calibration
     rows = projected_weak_efficiency(1020, 1020, [1, 16, 32, 64], rate,
                                      overlap=True)
     by_n = {r["devices"]: r for r in rows}
